@@ -1,0 +1,332 @@
+"""The epoch-batched frontier engine (SURVEY.md §3 "Spark lifecycle").
+
+One reference loop iteration fetches ONE url (``crawl.clj:90-91``); one
+engine epoch schedules THOUSANDS under the same semantics:
+
+  dequeue (politeness window) → fetch (join vs corpus) → extract
+  (posexplode + codegen canonicalization) → URL-seen anti-join (bloom
+  prefilter + exact) → merge-back (frontier/seen/order/lineage/metrics)
+  → snapshot commit.
+
+Every epoch ends in a **snapshot**: all state tables written to
+``snap-NNNNN/`` plus a manifest — the Iceberg-commit analog (on a real
+cluster these are Iceberg table commits; the reference's analog is the
+pprinted ``.state`` EDN file, ``main.clj:40-60``). ``CrawlEngine.resume``
+restarts from the latest manifest, which is the north_rule's
+resumable-from-checkpoint requirement. Reading the snapshot back also
+truncates the iterative lineage chain, the standard fix for
+growing-plan iterative jobs.
+
+Scale notes (how each stage survives 1000 executors / 10^10 rows):
+* dequeue: per-host window — parallel across hosts, AQE skew handling on;
+* fetch: the quota-bounded ``selected`` side is broadcast into the join
+  against the (bucketed, storage-side) corpus, so no corpus shuffle;
+* candidate dedup + seen anti-join: hash-partitioned on url/bucket —
+  bloom negatives never enter the anti-join shuffle at all;
+* sequence assignment: two-phase range partition (operators/sequence.py),
+  no single-reducer global sort;
+* metrics per epoch are one tiny aggregate each — the driver only ever
+  sees counters, never rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import politeness
+from .extract import count_extracted, extract_candidates
+from .operators.sequence import with_global_seq
+from .schema import (
+    CRAWL_ORDER_SCHEMA,
+    FRONTIER_SCHEMA,
+    LINEAGE_SCHEMA,
+    METRICS_SCHEMA,
+    URL_SEEN_SCHEMA,
+)
+from .seen import anti_join_seen, bucket_expr, build_segments
+from .canon import canonicalize_expr, host_of_expr
+
+
+@dataclass
+class EngineConfig:
+    n_seen_buckets: int = 32
+    bloom_m_bits: int = 1 << 20  # 128 KiB per segment
+    epoch_ms: int = 30_000
+    max_epochs: int = 10
+    max_pages: int | None = None
+    use_bloom: bool = True
+    checkpoint_dir: str | None = None
+    keep_snapshots: int = 3  # older snapshots pruned (Iceberg expire analog)
+
+
+_STATE_TABLES = ("frontier", "url_seen", "segments", "crawl_order", "lineage", "metrics")
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus: DataFrame,
+        robots: DataFrame,
+        cfg: EngineConfig | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg or EngineConfig()
+        self.corpus = corpus
+        self.robots = robots
+        self.ckpt = self.cfg.checkpoint_dir or tempfile.mkdtemp(prefix="crawl-ckpt-")
+        os.makedirs(self.ckpt, exist_ok=True)
+        self._state: dict = {}
+        self._manifest: dict = {}
+
+    # ---------------- snapshot plumbing ----------------
+
+    def _snap_dir(self, epoch: int) -> str:
+        return os.path.join(self.ckpt, f"snap-{epoch:05d}")
+
+    def _commit(self, epoch: int) -> None:
+        """Write all state tables + manifest atomically-ish (manifest last,
+        written only after every table landed — the commit point)."""
+        d = self._snap_dir(epoch)
+        for name in _STATE_TABLES:
+            df = self._state[name]
+            df.write.mode("overwrite").parquet(os.path.join(d, name))
+        with open(os.path.join(d, "manifest.json.tmp"), "w") as f:
+            json.dump(self._manifest, f)
+        os.replace(os.path.join(d, "manifest.json.tmp"), os.path.join(d, "manifest.json"))
+        # reload state from disk → truncates iterative lineage
+        for name in _STATE_TABLES:
+            schema = {
+                "frontier": FRONTIER_SCHEMA,
+                "url_seen": URL_SEEN_SCHEMA,
+                "crawl_order": CRAWL_ORDER_SCHEMA,
+                "lineage": LINEAGE_SCHEMA,
+                "metrics": METRICS_SCHEMA,
+            }.get(name)
+            path = os.path.join(d, name)
+            self._state[name] = (
+                self.spark.read.schema(schema).parquet(path)
+                if schema is not None
+                else self.spark.read.parquet(path)
+            )
+        # prune old snapshots
+        snaps = sorted(x for x in os.listdir(self.ckpt) if x.startswith("snap-"))
+        for old in snaps[: -self.cfg.keep_snapshots]:
+            shutil.rmtree(os.path.join(self.ckpt, old), ignore_errors=True)
+
+    def latest_snapshot(self) -> int | None:
+        snaps = sorted(x for x in os.listdir(self.ckpt) if x.startswith("snap-"))
+        for s in reversed(snaps):
+            if os.path.exists(os.path.join(self.ckpt, s, "manifest.json")):
+                return int(s.split("-")[1])
+        return None
+
+    def resume(self) -> None:
+        """Load state from the latest committed snapshot."""
+        epoch = self.latest_snapshot()
+        if epoch is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.ckpt}")
+        d = self._snap_dir(epoch)
+        with open(os.path.join(d, "manifest.json")) as f:
+            self._manifest = json.load(f)
+        for name in _STATE_TABLES:
+            self._state[name] = self.spark.read.parquet(os.path.join(d, name))
+
+    # ---------------- crawl ----------------
+
+    def init_seeds(self, seeds: list) -> None:
+        """Seed the frontier (reference: --start url / seed lists,
+        misc.clj:13-25). First occurrence wins; all enter URL-seen."""
+        spark = self.spark
+        cfg = self.cfg
+        seed_df = spark.createDataFrame(
+            [(u, i) for i, u in enumerate(seeds)], ["raw_url", "ord"]
+        )
+        canon = (
+            seed_df.withColumn("url", canonicalize_expr(F.col("raw_url"), F.col("raw_url")))
+            .filter(F.col("url").isNotNull())
+            .withColumn(
+                "__rn", F.row_number().over(Window.partitionBy("url").orderBy("ord"))
+            )
+            .filter(F.col("__rn") == 1)
+        )
+        frontier = with_global_seq(canon, ["ord"], "insertion_seq", 0).select(
+            "url",
+            F.xxhash64("url").alias("url_hash"),
+            host_of_expr(F.col("url")).alias("host"),
+            F.lit(None).cast("string").alias("src_url"),
+            F.lit(None).cast("string").alias("src_text"),
+            F.lit(None).cast("string").alias("src_xpath"),
+            F.lit(0).alias("epoch_added"),
+            "insertion_seq",
+            F.lit("content").alias("queue"),
+        )
+        n_seeds = frontier.count()
+        url_seen = frontier.select(
+            bucket_expr(F.col("url_hash"), cfg.n_seen_buckets).alias("partition_id"),
+            "url_hash",
+            "url",
+        )
+        self._state = {
+            "frontier": frontier,
+            "url_seen": url_seen,
+            "segments": build_segments(url_seen, None, cfg.bloom_m_bits)
+            if cfg.use_bloom
+            else self.spark.createDataFrame([], "partition_id int, bits binary, n_items long"),
+            "crawl_order": spark.createDataFrame([], CRAWL_ORDER_SCHEMA),
+            "lineage": spark.createDataFrame([], LINEAGE_SCHEMA),
+            "metrics": spark.createDataFrame([], METRICS_SCHEMA),
+        }
+        self._manifest = {"epoch": -1, "next_seq": n_seeds, "dequeue_seq": 0}
+
+    def run_epoch(self) -> dict:
+        """One scheduling epoch; returns this epoch's metrics row."""
+        cfg = self.cfg
+        spark = self.spark
+        epoch = self._manifest["epoch"] + 1
+        next_seq = self._manifest["next_seq"]
+        dequeue_seq = self._manifest["dequeue_seq"]
+
+        frontier = self._state["frontier"]
+        allowed, disallowed = politeness.robots_filter(frontier, self.robots)
+        n_disallowed = disallowed.count()
+        selected, rest = politeness.dequeue(allowed, self.robots, cfg.epoch_ms)
+        selected = with_global_seq(selected, ["insertion_seq"], "seq", dequeue_seq)
+        selected.persist()
+        n_selected = selected.count()
+        if n_selected == 0:
+            self._state["frontier"] = rest.select(*[f.name for f in FRONTIER_SCHEMA])
+            m = dict(epoch=epoch, urls_scheduled=0, pages_fetched=0, links_extracted=0,
+                     links_enqueued=0, dups_dropped=0, disallowed_dropped=n_disallowed)
+            self._append_metrics(m)
+            self._manifest.update(epoch=epoch)
+            self._commit(epoch)
+            selected.unpersist()
+            return m
+
+        # fetch: broadcast the quota-bounded batch into the corpus scan —
+        # the corpus (10^10-row side) never shuffles
+        fetched = self.corpus.join(
+            F.broadcast(selected.select("seq", "url")), "url", "inner"
+        ).select("seq", "url", "host", "out_links")
+        fetched.persist()
+        n_fetched = fetched.count()
+        n_links = count_extracted(fetched).count()
+
+        cand_all = extract_candidates(fetched, dedup=False).withColumn(
+            "url_hash", F.xxhash64("url")
+        ).withColumn("partition_id", bucket_expr(F.col("url_hash"), cfg.n_seen_buckets))
+        cand_all.persist()
+        # oracle's dups_dropped counts every non-enqueued same-host
+        # occurrence, so count BEFORE within-batch dedup
+        n_candidates = cand_all.count()
+        w_first = Window.partitionBy("url").orderBy("src_seq", "pos")
+        candidates = (
+            cand_all.withColumn("__rn", F.row_number().over(w_first))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+        survivors = anti_join_seen(
+            candidates,
+            self._state["url_seen"],
+            self._state["segments"] if cfg.use_bloom else None,
+            cfg.bloom_m_bits,
+        )
+        survivors = with_global_seq(survivors, ["src_seq", "pos"], "insertion_seq", next_seq)
+        survivors.persist()
+        n_new = survivors.count()
+
+        new_frontier_rows = survivors.select(
+            "url", "url_hash", "host",
+            "src_url", "src_text", "src_xpath",
+            F.lit(epoch + 1).alias("epoch_added"),
+            "insertion_seq",
+            F.lit("content").alias("queue"),
+        )
+        new_seen = survivors.select("partition_id", "url_hash", "url")
+        self._state["url_seen"] = self._state["url_seen"].unionByName(new_seen)
+        if cfg.use_bloom:
+            self._state["segments"] = build_segments(
+                new_seen, self._state["segments"], cfg.bloom_m_bits
+            )
+        self._state["frontier"] = rest.select(*[f.name for f in FRONTIER_SCHEMA]).unionByName(
+            new_frontier_rows
+        )
+        order_rows = selected.select(
+            "seq", "url", F.lit(epoch).alias("epoch"), "host"
+        )
+        self._state["crawl_order"] = self._state["crawl_order"].unionByName(order_rows)
+        self._state["lineage"] = self._state["lineage"].unionByName(
+            new_seen.groupBy("partition_id")
+            .agg(F.count("*").alias("rows_added"))
+            .select(F.lit(epoch).alias("epoch"), "partition_id", "rows_added")
+        )
+
+        m = dict(
+            epoch=epoch,
+            urls_scheduled=n_selected,
+            pages_fetched=n_fetched,
+            links_extracted=n_links,
+            links_enqueued=n_new,
+            dups_dropped=n_candidates - n_new,
+            disallowed_dropped=n_disallowed,
+        )
+        self._append_metrics(m)
+        self._manifest.update(
+            epoch=epoch, next_seq=next_seq + n_new, dequeue_seq=dequeue_seq + n_selected
+        )
+        self._commit(epoch)
+        for df in (selected, fetched, cand_all, survivors):
+            df.unpersist()
+        return m
+
+    def _append_metrics(self, m: dict) -> None:
+        row = self.spark.createDataFrame([tuple(m[f.name] for f in METRICS_SCHEMA)],
+                                         METRICS_SCHEMA)
+        self._state["metrics"] = self._state["metrics"].unionByName(row)
+
+    def run(self, seeds: list | None = None) -> dict:
+        """Run to completion (frontier drained / max_epochs / max_pages).
+        Pass seeds to start fresh; omit to continue loaded/resumed state."""
+        if seeds is not None:
+            self.init_seeds(seeds)
+        while True:
+            epoch = self._manifest["epoch"] + 1
+            if epoch >= self.cfg.max_epochs:
+                break
+            if (
+                self.cfg.max_pages is not None
+                and self._manifest["dequeue_seq"] >= self.cfg.max_pages
+            ):
+                break
+            pending = self._state["frontier"].count()
+            if pending == 0:
+                break
+            self.run_epoch()
+        return self._manifest
+
+    # ---------------- result accessors ----------------
+
+    @property
+    def crawl_order(self) -> DataFrame:
+        return self._state["crawl_order"].orderBy("seq")
+
+    @property
+    def url_seen(self) -> DataFrame:
+        return self._state["url_seen"]
+
+    @property
+    def metrics(self) -> DataFrame:
+        return self._state["metrics"].orderBy("epoch")
+
+    @property
+    def lineage(self) -> DataFrame:
+        return self._state["lineage"]

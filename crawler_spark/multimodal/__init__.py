@@ -1,0 +1,9 @@
+from .images import (  # noqa: F401
+    decode_stats,
+    phash_udf_frame,
+    psnr,
+    resize_images,
+    sgi_decode,
+    sgi_encode,
+    frame_sample,
+)

@@ -1,0 +1,171 @@
+"""Multimodal (image) column operators.
+
+Treats images as opaque ``binary`` columns with typed metadata (w, h,
+fmt) per BASELINE.json ``input_hint``. The Spark-side plumbing — schema,
+``mapInPandas`` batch shape, Arrow transfer, partition behavior — is
+real and tested; the *codec* is the sandbox stand-in (no image libraries
+in this container): header ``SGI1 | fmt u8 | w u16le | h u16le`` +
+grayscale payload. ``png`` (fmt 0) is lossless; ``jpeg`` (fmt 1)
+quantizes to even pixel values → decoded-pixel PSNR ≈ 51 dB, satisfying
+the ≥40 dB lossy invariant. Swapping in a real codec (PIL / turbojpeg /
+ffmpeg for frame sampling) only changes the two ``_codec_*`` functions —
+every Spark-facing signature stays put.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+HEADER = b"SGI1"
+_FMTS = {0: "png", 1: "jpeg"}
+_FMT_CODE = {"png": 0, "jpeg": 1}
+
+
+def sgi_encode(pixels: np.ndarray, fmt: str) -> bytes:
+    """Encode an (h, w) uint8 grayscale array. jpeg path is lossy
+    (quantize-to-even)."""
+    h, w = pixels.shape
+    payload = pixels if fmt == "png" else (pixels & 0xFE)
+    return (
+        HEADER
+        + bytes([_FMT_CODE[fmt]])
+        + int(w).to_bytes(2, "little")
+        + int(h).to_bytes(2, "little")
+        + payload.astype(np.uint8).tobytes()
+    )
+
+
+def sgi_decode(blob: bytes) -> tuple:
+    """→ ((h, w) uint8 array, fmt str). Raises on bad magic."""
+    if blob[:4] != HEADER:
+        raise NotImplementedError(
+            "real image codecs unavailable in this container; only the "
+            "SGI1 stand-in codec is decodable (see module docstring)"
+        )
+    fmt = _FMTS[blob[4]]
+    w = int.from_bytes(blob[5:7], "little")
+    h = int.from_bytes(blob[7:9], "little")
+    pix = np.frombuffer(blob[9 : 9 + w * h], dtype=np.uint8).reshape(h, w)
+    return pix, fmt
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 10.0 * np.log10(255.0**2 / mse)
+
+
+_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("dec_w", T.IntegerType()),
+        T.StructField("dec_h", T.IntegerType()),
+        T.StructField("dec_fmt", T.StringType()),
+        T.StructField("mean_px", T.DoubleType()),
+        T.StructField("std_px", T.DoubleType()),
+    ]
+)
+
+
+def decode_stats(df: DataFrame) -> DataFrame:
+    """Decode + per-image pixel stats via ``mapInPandas`` (one Arrow batch
+    in, one out; pure per-partition work, embarrassingly parallel)."""
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "dec_w", "dec_h", "dec_fmt", "mean_px", "std_px")}
+            for iid, blob in zip(pdf["image_id"], pdf["bytes"]):
+                pix, fmt = sgi_decode(bytes(blob))
+                out["image_id"].append(iid)
+                out["dec_h"].append(pix.shape[0])
+                out["dec_w"].append(pix.shape[1])
+                out["dec_fmt"].append(fmt)
+                out["mean_px"].append(float(pix.mean()))
+                out["std_px"].append(float(pix.std()))
+            yield pd.DataFrame(out)
+
+    return df.select("image_id", "bytes").mapInPandas(run, _STATS_SCHEMA)
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize to (out_w, out_h), re-encoded lossless.
+    (A real pipeline swaps the kernel; the batch plumbing is the point.)"""
+
+    def run(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for iid, blob in zip(pdf["image_id"], pdf["bytes"]):
+                pix, _fmt = sgi_decode(bytes(blob))
+                ys = (np.arange(out_h) * pix.shape[0] // out_h).astype(np.int64)
+                xs = (np.arange(out_w) * pix.shape[1] // out_w).astype(np.int64)
+                ids.append(iid)
+                blobs.append(sgi_encode(pix[np.ix_(ys, xs)], "png"))
+            yield pd.DataFrame(
+                {"image_id": ids, "bytes": blobs, "w": out_w, "h": out_h}
+            )
+
+    return df.select("image_id", "bytes").mapInPandas(run, _RESIZE_SCHEMA)
+
+
+def phash_udf_frame(df: DataFrame) -> DataFrame:
+    """Recompute the 64-bit perceptual hash from decoded pixels (8x8
+    block-mean thresholded at the image mean — must reproduce the
+    corpus-side phash column bit-for-bit; tested)."""
+    schema = T.StructType(
+        [T.StructField("image_id", T.StringType()), T.StructField("phash2", T.LongType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for iid, blob in zip(pdf["image_id"], pdf["bytes"]):
+                pix, _ = sgi_decode(bytes(blob))
+                h, w = pix.shape
+                blocks = pix.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+                bits = (blocks > pix.mean()).reshape(64)
+                val = np.uint64(0)
+                weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+                val = (bits.astype(np.uint64) * weights).sum(dtype=np.uint64)
+                hashes.append(int(val.astype(np.int64)))
+                ids.append(iid)
+            yield pd.DataFrame({"image_id": ids, "phash2": hashes})
+
+    return df.select("image_id", "bytes").mapInPandas(run, schema)
+
+
+def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video-style frame sampling stub: treats each image row as a 1-frame
+    clip; a real video codec is unavailable here, so sampling frames
+    beyond index 0 raises. The partitioning/UDF shape is the deliverable.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("bytes", T.BinaryType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = {"image_id": [], "frame_idx": [], "bytes": []}
+            for iid, blob in zip(pdf["image_id"], pdf["bytes"]):
+                rows["image_id"].append(iid)
+                rows["frame_idx"].append(0)
+                rows["bytes"].append(bytes(blob))
+            yield pd.DataFrame(rows)
+
+    return df.select("image_id", "bytes").mapInPandas(run, schema)

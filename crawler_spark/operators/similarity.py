@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the correctness baseline; the scale path is
+random-hyperplane LSH bucketing (probe only same-bucket candidates) and
+an IVF-style coarse quantizer (probe nearest centroid partitions).
+Dot products use ``F.zip_with`` + ``F.aggregate`` — JVM higher-order
+functions, no Python. The reference's cosine machinery
+(``page.clj:24-59``, char-frequency cosine C4) is the ancestor; here it
+runs over dense vectors at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query row.
+
+    queries is small (broadcast); the corpus side streams — one pass,
+    no corpus shuffle; ranking is a per-query window (parallel across
+    queries). Excludes self-matches."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = df.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
+def hyperplane_bucket_expr(vec_col, n_planes: int = 8, dim: int | None = None):
+    """Random-hyperplane LSH bucket id: sign bits of <v, h_p> packed to an
+    int. Hyperplane weights are a deterministic integer function of
+    (plane, dim): w = ((p*131 + d*137) % 997) - 498 — reproducible in
+    plain SQL, no RNG state."""
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.sequence(F.lit(0), F.size(vec_col) - 1),
+                lambda v, d: v * (((F.lit(p * 131) + d * 137) % 997) - 498),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's hyperplane
+    bucket (equi-join on bucket id → hash join, no cross product). At 16
+    planes / 65k buckets this is the 1000-executor-friendly shape: the
+    corpus is bucketed once and reused across query batches."""
+    bucket = hyperplane_bucket_expr(F.col(vec_col), n_planes)
+    c = df.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), bucket.alias("bucket")
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), bucket.alias("bucket")
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
+def ivf_assign(df: DataFrame, vec_col: str, id_col: str, n_cells: int = 16) -> DataFrame:
+    """IVF coarse assignment with deterministic pseudo-centroids (same
+    integer hyperplane trick, one 'centroid' per cell = unit direction):
+    cell = argmax_c <v, dir_c>. Returns (id, cell). Real IVF would learn
+    centroids with k-means (`pyspark.ml.clustering.KMeans`) — the
+    partition-pruned search shape is identical."""
+    best = None
+    for cell in range(n_cells):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+                lambda v, d: v * (((F.lit(cell * 251) + d * 241) % 499) - 249),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        s = F.struct(proj.alias("proj"), F.lit(cell).alias("cell"))
+        best = s if best is None else F.when(s["proj"] > best["proj"], s).otherwise(best)
+    return df.select(F.col(id_col).alias("id"), best["cell"].alias("cell"))

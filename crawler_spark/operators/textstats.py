@@ -1,0 +1,118 @@
+"""Text-analysis operators for a training-data pipeline: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Reference analogs: tokenizers ``utils.clj:179-195``, punct-density +
+formatting features ``leaf_pages.clj:141-228`` (the 10-feature page
+classifier), text normalization ``shingles.clj:12-16``. All pure column
+expressions (whole-stage codegen; no UDFs), and every formula is
+restateable in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_hash61, normalize_text
+
+# Tiny per-language stopword anchors for the n-gram/stopword heuristic.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans"],
+    "es": ["el", "la", "los", "que", "es", "una", "con", "por"],
+}
+
+
+def token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (word-piece count
+    approximated as ceil(chars/4) per token, the common ~4-chars-per-token
+    heuristic) — both as columns."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    toks = F.filter(toks, lambda t: t != "")
+    subword = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.ceil(F.length(t) / 4).cast("long")
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n_tokens"),
+        subword.alias("n_subwords"),
+        F.length(F.col(text_col)).alias("n_chars_raw"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a
+    composite score (leaf_pages.clj:141-228 analog, columnized)."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[.!?,;:]", ""))
+    toks = F.filter(F.split(normalize_text(text), " "), lambda t: t != "")
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    mean_tok_len = F.when(n_tokens > 0, (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)) / n_tokens
+    )).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(4.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * 0.2
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        mean_tok_len.alias("mean_tok_len"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-vote language ID: per language, count token hits against
+    its anchor list; argmax wins, ties broken alphabetically, zero hits →
+    'und'. Declarative: the scores are plain aggregates."""
+    toks = F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda t: t != "")
+    scores = []
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        arr = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # max_by (hits desc, lang asc): negate lang ordering via array_max on
+    # struct(hits, negated-rank) — instead pick via sort: greatest struct
+    best = F.array_max(
+        F.array(*[F.struct((s["hits"] * 1000 - i).alias("rank"), s["lang"].alias("lang"))
+                  for i, s in enumerate(scores)])
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(F.floor((best["rank"] + len(scores) - 1) / 1000) > 0, best["lang"])
+        .otherwise(F.lit("und"))
+        .alias("pred_lang"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFrame:
+    """Bottom-k sketch fingerprint: the k smallest 4-gram shingle hashes,
+    packed to a string (winnowing-style document fingerprint; same
+    identity ⇒ same fingerprint, robust to small edits)."""
+    from .dedup import shingles_col
+
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles_col(F.col(text_col))).alias("sh"))
+        .filter(F.col("sh") != "")
+        .withColumn("h", md5_hash61(F.col("sh")))
+        .distinct()
+    )
+    return (
+        sh.groupBy("id")
+        .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("mins"))
+        .select("id", F.concat_ws("-", F.col("mins")).alias("fingerprint"))
+    )

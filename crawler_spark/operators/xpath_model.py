@@ -1,0 +1,189 @@
+"""XPath-model operators — the reference's crawl-learning analytics
+re-expressed as DataFrame aggregates over the exploded link table
+``(page_url, xpath, href, text)`` (SURVEY.md §2.4, §2.9).
+
+The reference computes every one of these by folding Clojure seqs on one
+heap; each becomes one groupBy/window, so partial aggregation and AQE
+come free and nothing holds a page list in memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def explode_links(corpus: DataFrame) -> DataFrame:
+    """corpus → one row per (page, link): the 'state-action space' table
+    (rich_char_extractor.clj:113-124)."""
+    return corpus.select(
+        F.col("url").alias("page_url"),
+        F.col("host"),
+        F.posexplode("out_links").alias("pos", "link"),
+    ).select(
+        "page_url",
+        "host",
+        "pos",
+        F.col("link.href").alias("href"),
+        F.col("link.text").alias("text"),
+        F.col("link.xpath").alias("xpath"),
+        F.col("link.nofollow").alias("nofollow"),
+    )
+
+
+def xpath_char_score(links: DataFrame) -> DataFrame:
+    """A3: per (page, xpath): Σ anchor-text length + href count — the
+    char-score that drives extraction choice (rich_char_extractor.clj:
+    61-124; :score there is the href count, the char sum feeds the model
+    variant at lines 283-302; we emit both)."""
+    return links.groupBy("page_url", "xpath").agg(
+        F.sum(F.length("text")).alias("char_score"),
+        F.count("*").alias("href_count"),
+    )
+
+
+def page_nav_chars(links: DataFrame) -> DataFrame:
+    """A4: page-wide Σ of anchor text length (rich_char_extractor.clj:74-85)."""
+    return links.groupBy("page_url").agg(F.sum(F.length("text")).alias("nav_chars"))
+
+
+def mean_variance_score(links: DataFrame) -> DataFrame:
+    """A5: per xpath, mean(token-count) · var_pop(token-count) over its
+    anchor texts (rank.clj:132-170 score-xpaths-1)."""
+    n_tok = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    return (
+        links.withColumn("n_tok", n_tok)
+        .groupBy("xpath")
+        .agg(
+            F.avg("n_tok").alias("mean_tok"),
+            F.var_pop("n_tok").alias("var_tok"),
+            F.count("*").alias("n_links"),
+        )
+        .withColumn("score", F.col("mean_tok") * F.col("var_tok"))
+    )
+
+
+def enum_candidate_score(links: DataFrame, df_counts: DataFrame | None = None) -> DataFrame:
+    """A6: log(|hrefs|+10) / df per xpath (rank.clj:8-22; novelty/update
+    factors default to 1 outside the incremental loop). df = number of
+    distinct pages the xpath appears on."""
+    per_page = links.groupBy("xpath", "page_url").agg(F.count("*").alias("n_hrefs"))
+    agg = per_page.groupBy("xpath").agg(
+        F.sum("n_hrefs").alias("total_hrefs"),
+        F.countDistinct("page_url").alias("df"),
+    )
+    return agg.withColumn("score", F.log(F.col("total_hrefs") + 10) / F.col("df"))
+
+
+def dominated_xpath_prune(links: DataFrame) -> DataFrame:
+    """J4: drop any (page, xpath) whose href set is a subset of another
+    xpath's href set on the same page (rich_char_extractor.clj:9-27).
+    Self-join per page on small per-page cardinality → broadcast-friendly;
+    subset test = size(array_except(a,b)) == 0."""
+    sets = links.groupBy("page_url", "xpath").agg(
+        F.collect_set("href").alias("hrefs"), F.count("*").alias("n")
+    )
+    a, b = sets.alias("a"), sets.alias("b")
+    dominated = (
+        a.join(b, "page_url")
+        .filter(
+            (F.col("a.xpath") != F.col("b.xpath"))
+            & (F.size(F.array_except(F.col("a.hrefs"), F.col("b.hrefs"))) == 0)
+            & (
+                (F.size(F.col("a.hrefs")) < F.size(F.col("b.hrefs")))
+                | (
+                    (F.size(F.col("a.hrefs")) == F.size(F.col("b.hrefs")))
+                    & (F.col("a.xpath") > F.col("b.xpath"))  # tie-break: keep lexic. first
+                )
+            )
+        )
+        .select("page_url", F.col("a.xpath").alias("xpath"))
+        .distinct()
+    )
+    return sets.join(dominated, ["page_url", "xpath"], "left_anti").select(
+        "page_url", "xpath", "hrefs", "n"
+    )
+
+
+def template_links(links: DataFrame, min_incidence: int = 5) -> DataFrame:
+    """P10/A8 learn step: (xpath, href) pairs appearing on ≥ min_incidence
+    distinct pages are template/boilerplate (template_removal.clj:49-93)."""
+    return (
+        links.groupBy("xpath", "href")
+        .agg(F.countDistinct("page_url").alias("incidence"))
+        .filter(F.col("incidence") >= min_incidence)
+    )
+
+
+def remove_template_links(links: DataFrame, min_incidence: int = 5) -> DataFrame:
+    """P10 apply step: anti-join the learned template table (broadcast —
+    boilerplate tables are small relative to the link table)."""
+    t = template_links(links, min_incidence).select("xpath", "href")
+    return links.join(F.broadcast(t), ["xpath", "href"], "left_anti")
+
+
+def pagination_candidates(links: DataFrame) -> DataFrame:
+    """Pagination detection core (corpus.clj:123-217 digit-anchor rule +
+    W2 smallest-numeric pick): per (page, xpath), the digit-anchored link
+    with the smallest numeric text is the next-page candidate."""
+    digits = links.filter(F.col("text").rlike("^[0-9]+$"))
+    w = Window.partitionBy("page_url", "xpath").orderBy(
+        F.col("text").cast("long").asc(), F.col("pos").asc()
+    )
+    return (
+        digits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("page_url", "xpath", F.col("href").alias("next_href"),
+                F.col("text").cast("long").alias("page_no"))
+    )
+
+
+def updated_count(links_a: DataFrame, links_b: DataFrame) -> DataFrame:
+    """A10: per xpath, |hrefs(A) \\ hrefs(B)| between two page versions
+    (rich_extractor.clj:217-226)."""
+    sa = links_a.groupBy("xpath").agg(F.collect_set("href").alias("ha"))
+    sb = links_b.groupBy("xpath").agg(F.collect_set("href").alias("hb"))
+    return (
+        sa.join(sb, "xpath", "left")
+        .withColumn(
+            "novel", F.size(F.array_except("ha", F.coalesce("hb", F.array())))
+        )
+        .select("xpath", "novel")
+    )
+
+
+def page_signature(links: DataFrame) -> DataFrame:
+    """C5 input: page signature = map xpath → href count (page.clj:79-84)."""
+    return (
+        links.groupBy("page_url", "xpath")
+        .agg(F.count("*").alias("n"))
+        .groupBy("page_url")
+        .agg(F.map_from_entries(F.sort_array(F.collect_list(F.struct("xpath", "n")))).alias("signature"))
+    )
+
+
+def signature_cosine(sig_a: DataFrame, sig_b: DataFrame) -> DataFrame:
+    """C5: cosine over sparse xpath→count signatures of page pairs
+    (page.clj:24-59), via explode + join on xpath — no dense vectors."""
+    ea = sig_a.select(F.col("page_url").alias("pa"), F.explode("signature").alias("k", "va"))
+    eb = sig_b.select(F.col("page_url").alias("pb"), F.explode("signature").alias("k", "vb"))
+    dots = (
+        ea.join(eb, "k")
+        .groupBy("pa", "pb")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    na = ea.groupBy("pa").agg(F.sqrt(F.sum(F.col("va") * F.col("va"))).alias("na"))
+    nb = eb.groupBy("pb").agg(F.sqrt(F.sum(F.col("vb") * F.col("vb"))).alias("nb"))
+    return (
+        dots.join(na, "pa").join(nb, "pb")
+        .withColumn("cosine", F.col("dot") / (F.col("na") * F.col("nb")))
+        .select("pa", "pb", "cosine")
+    )
+
+
+def yield_estimate(links: DataFrame, leaf_paths: DataFrame) -> DataFrame:
+    """A9 analog: per xpath step, max per-page link yield; the driver
+    multiplies the ≤5 steps of an action sequence (corpus.clj:324-407 —
+    the product over steps stays driver-side, as in the reference plan)."""
+    per_page = links.groupBy("xpath", "page_url").agg(F.count("*").alias("links_on_page"))
+    return per_page.groupBy("xpath").agg(F.max("links_on_page").alias("max_yield"))

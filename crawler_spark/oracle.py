@@ -1,0 +1,137 @@
+"""Sequential single-node oracle — executable reference semantics.
+
+A tiny, obviously-correct Python restatement of the reference crawl loop
+(``crawl.clj:46-198``: FIFO BFS, visited∪queue blacklist, same-host +
+nofollow/javascript link predicate, politeness), run over the same
+deterministic synthetic web as the Spark engine. The engine must match
+its **crawl order exactly** and its **final URL-seen set exactly**
+(BASELINE.json north_rule). SURVEY.md §5 explains why this harness exists:
+the reference ships no reusable test oracle of its own.
+
+Semantics contract (both sides implement THIS, deterministically):
+
+* Epoch e: for each host, dequeue the ``quota(host) = max(1,
+  epoch_ms // crawl_delay_ms)`` pending frontier rows with the smallest
+  ``insertion_seq`` (politeness window analog of the reference's
+  1-request-per-sleep loop, ``crawl.clj:83``). Robots-disallowed rows are
+  dropped (never fetched, never expanded). Global dequeue order within an
+  epoch = ascending ``insertion_seq``.
+* Fetch = corpus lookup. Per fetched page, iterate out_links in stored
+  order: HTML-unescape → drop javascript:/nofollow → resolve relative →
+  strip fragment (``dom.clj:315-369``) → same-host filter
+  (``dom.clj:353``).
+* URL-seen = everything *ever enqueued* (reference blacklist is
+  visited ∪ queue ∪ current candidates, ``crawl.clj:125-129``). A
+  candidate already seen — or seen earlier in the same epoch by a page
+  with a smaller (dequeue_seq, link_position) — is dropped.
+* Survivors get ``insertion_seq`` values continuing the global counter,
+  in (parent dequeue order, link position) order, and enter URL-seen
+  immediately.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .canon import canonicalize, host_of
+from .hashing import url_hash
+from .synth import SynthConfig, gen_all
+
+
+@dataclass
+class OracleResult:
+    crawl_order: list = field(default_factory=list)  # (seq, url, epoch, host)
+    url_seen: set = field(default_factory=set)
+    fetched: list = field(default_factory=list)  # corpus rows (dicts) in fetch order
+    metrics: list = field(default_factory=list)  # per-epoch dicts
+    epochs_run: int = 0
+
+
+def crawl_oracle(
+    cfg: SynthConfig,
+    seeds: list,
+    robots: list,
+    max_epochs: int = 10,
+    epoch_ms: int = 30_000,
+    max_pages: int | None = None,
+) -> OracleResult:
+    corpus = gen_all(cfg)
+    by_url = {r["url"]: r for r in corpus.to_dict("records")}
+    delay = {r["host"]: r["crawl_delay_ms"] for r in robots}
+    disallow = {r["host"]: r["disallow_prefixes"] for r in robots}
+
+    res = OracleResult()
+    frontier: list = []  # pending entries: dict(url, host, insertion_seq)
+    next_seq = 0
+    for u in seeds:
+        cu = canonicalize(u, u)
+        if cu is None or cu in res.url_seen:
+            continue
+        res.url_seen.add(cu)
+        frontier.append({"url": cu, "host": host_of(cu), "insertion_seq": next_seq})
+        next_seq += 1
+
+    dequeue_seq = 0
+    for epoch in range(max_epochs):
+        if not frontier or (max_pages is not None and dequeue_seq >= max_pages):
+            break
+        # politeness: per-host quota, smallest insertion_seq first
+        budget_left: dict = {}
+        selected, remaining, disallowed = [], [], 0
+        for entry in sorted(frontier, key=lambda x: x["insertion_seq"]):
+            h = entry["host"]
+            path = entry["url"].split(h, 1)[1]
+            if any(path.startswith(p) for p in disallow.get(h, [])):
+                disallowed += 1
+                continue
+            q = budget_left.setdefault(h, max(1, epoch_ms // delay.get(h, 1000)))
+            if q > 0:
+                budget_left[h] = q - 1
+                selected.append(entry)
+            else:
+                remaining.append(entry)
+        frontier = remaining
+        if not selected:
+            res.metrics.append(
+                dict(epoch=epoch, urls_scheduled=0, pages_fetched=0, links_extracted=0,
+                     links_enqueued=0, dups_dropped=0, disallowed_dropped=disallowed)
+            )
+            res.epochs_run = epoch + 1
+            if not frontier:
+                break
+            continue
+
+        fetched_ct = links_ct = enq_ct = dups_ct = 0
+        new_entries = []
+        for entry in selected:  # already in ascending insertion_seq order
+            res.crawl_order.append((dequeue_seq, entry["url"], epoch, entry["host"]))
+            dequeue_seq += 1
+            page = by_url.get(entry["url"])
+            if page is None:
+                continue
+            fetched_ct += 1
+            res.fetched.append(page)
+            for link in page["out_links"]:
+                if link["nofollow"]:
+                    continue
+                cu = canonicalize(link["href"], page["url"])
+                if cu is None:
+                    continue
+                links_ct += 1
+                if host_of(cu) != page["host"]:  # same-host predicate
+                    continue
+                if cu in res.url_seen:
+                    dups_ct += 1
+                    continue
+                res.url_seen.add(cu)
+                new_entries.append({"url": cu, "host": host_of(cu), "insertion_seq": next_seq})
+                next_seq += 1
+                enq_ct += 1
+        frontier.extend(new_entries)
+        res.metrics.append(
+            dict(epoch=epoch, urls_scheduled=len(selected), pages_fetched=fetched_ct,
+                 links_extracted=links_ct, links_enqueued=enq_ct, dups_dropped=dups_ct,
+                 disallowed_dropped=disallowed)
+        )
+        res.epochs_run = epoch + 1
+    return res

@@ -1,0 +1,66 @@
+"""Host-keyed politeness scheduling (SURVEY.md §2.12).
+
+The reference's politeness is a literal ``Thread/sleep 1000`` before every
+fetch (``crawl.clj:83``) — 1 URL/sec total, sequential. The batch analog:
+per epoch of nominal length ``epoch_ms``, host h may be scheduled at most
+``quota(h) = max(1, epoch_ms // crawl_delay_ms(h))`` times. Selection
+within a host is by ascending ``insertion_seq`` (FIFO/BFS, matching the
+reference's queue order, ``crawl.clj:90,134``), expressed as a
+``row_number`` window partitioned by host — Spark sorts each host's
+pending rows in parallel across the cluster.
+
+robots.txt handling (disallow prefixes + crawl-delay) is an *addition*
+relative to the reference, which declares clj-robots but never imports it
+(``project.clj:10``); north_rule requires it for real. Rules are a small
+per-host table → broadcast join.
+
+Skew: a hot host's window sort is bounded by that host's pending rows.
+The frontier table itself is stored salted (``host_salt = pmod(url_hash,
+n_salts)``) so scans/writes spread, and AQE skew-join handling is enabled
+in the session defaults; the *quota* is enforced on the real host key
+after the window, so salting never violates politeness (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def robots_filter(frontier: DataFrame, robots: DataFrame) -> tuple:
+    """Split pending frontier rows into (allowed, disallowed) under the
+    broadcast robots table's disallow prefixes."""
+    path = F.regexp_replace(F.col("url"), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    joined = frontier.withColumn("__path", path).join(
+        F.broadcast(robots.select("host", "disallow_prefixes")), "host", "left"
+    )
+    is_disallowed = F.exists(
+        F.coalesce(F.col("disallow_prefixes"), F.array()),
+        lambda p: F.col("__path").startswith(p),
+    )
+    allowed = joined.filter(~is_disallowed).drop("__path", "disallow_prefixes")
+    disallowed = joined.filter(is_disallowed).drop("__path", "disallow_prefixes")
+    return allowed, disallowed
+
+
+def dequeue(allowed: DataFrame, robots: DataFrame, epoch_ms: int) -> tuple:
+    """(selected, rest): per-host quota window over the allowed pending
+    rows. ``selected`` keeps frontier columns; global dequeue order is
+    ascending insertion_seq (assigned upstream, unique)."""
+    quota = F.greatest(
+        F.lit(1),
+        F.floor(F.lit(epoch_ms) / F.coalesce(F.col("crawl_delay_ms"), F.lit(1000))),
+    )
+    w = Window.partitionBy("host").orderBy("insertion_seq")
+    ranked = (
+        allowed.join(F.broadcast(robots.select("host", "crawl_delay_ms")), "host", "left")
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__quota", quota)
+    )
+    selected = ranked.filter(F.col("__rn") <= F.col("__quota")).drop(
+        "__rn", "__quota", "crawl_delay_ms"
+    )
+    rest = ranked.filter(F.col("__rn") > F.col("__quota")).drop(
+        "__rn", "__quota", "crawl_delay_ms"
+    )
+    return selected, rest

@@ -1,0 +1,117 @@
+"""Engine table schemas (SURVEY.md §1.1 table, FIXTURES.md §1-§5).
+
+The reference is schemaless (Clojure maps, ``crawl.clj:29-34``); here every
+state structure is a typed table so it can live in Iceberg and shuffle
+efficiently. ``corpus`` follows BASELINE.json ``input_hint`` exactly:
+``(image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+caption:string, phash:int64)`` plus the link-graph columns layered on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# One out-link as extracted from a page (reference: href/text pairs gathered
+# per XPath group, dom.clj:436-442; rich_char_extractor.clj:113-124).
+LINK_TYPE = T.StructType(
+    [
+        T.StructField("href", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("xpath", T.StringType(), True),
+        T.StructField("nofollow", T.BooleanType(), False),
+    ]
+)
+
+# The synthetic web / fetched-page store. Fetch = lookup join on url
+# (reference: live HTTP GET + document cache, utils.clj:210-227).
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+        T.StructField("phash", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("out_links", T.ArrayType(LINK_TYPE), False),
+        T.StructField("is_leaf", T.BooleanType(), False),
+    ]
+)
+
+# Frontier entry == reference url-ds map {:url :path :src-url :src-text}
+# (crawl.clj:29-34) + the scheduling columns batching requires.
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("src_url", T.StringType(), True),
+        T.StructField("src_text", T.StringType(), True),
+        T.StructField("src_xpath", T.StringType(), True),
+        T.StructField("epoch_added", T.IntegerType(), False),
+        T.StructField("insertion_seq", T.LongType(), False),
+        T.StructField("queue", T.StringType(), False),  # "content" | "paging"
+    ]
+)
+
+# URL-seen membership table (reference: one in-heap set, crawl.clj:125-129).
+# partition_id = pmod(url_hash, n_buckets) keys both the storage bucketing
+# and the bloom segment that prefilters the exact anti-join.
+URL_SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+    ]
+)
+
+BLOOM_SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("bits", T.BinaryType(), False),
+        T.StructField("n_items", T.LongType(), False),
+    ]
+)
+
+# Politeness rules. The reference declares clj-robots but never uses it
+# (project.clj:10); fixed sleeps are its only politeness (crawl.clj:83).
+ROBOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("disallow_prefixes", T.ArrayType(T.StringType()), False),
+        T.StructField("crawl_delay_ms", T.IntegerType(), False),
+    ]
+)
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch", T.IntegerType(), False),
+        T.StructField("urls_scheduled", T.LongType(), False),
+        T.StructField("pages_fetched", T.LongType(), False),
+        T.StructField("links_extracted", T.LongType(), False),
+        T.StructField("links_enqueued", T.LongType(), False),
+        T.StructField("dups_dropped", T.LongType(), False),
+        T.StructField("disallowed_dropped", T.LongType(), False),
+    ]
+)
+
+# Per-partition lineage: which seen-bucket each epoch touched and how much
+# (north_rule: "per-partition lineage + metrics").
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch", T.IntegerType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("rows_added", T.LongType(), False),
+    ]
+)
+
+CRAWL_ORDER_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("epoch", T.IntegerType(), False),
+        T.StructField("host", T.StringType(), False),
+    ]
+)

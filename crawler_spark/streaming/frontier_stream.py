@@ -1,0 +1,83 @@
+"""Structured Streaming view of the frontier (SURVEY.md §2.10).
+
+The reference's loop state (queue/visited/counters, ``crawl.clj:323``)
+is exactly streaming state; per north_rule the production engine models
+epochs as batches over snapshot tables, but a continuously-arriving
+frontier (e.g. link discoveries from a live fetch fleet) is naturally a
+stream. These jobs are the streaming twins of the batch operators:
+
+* ``stream_windowed_counts`` — watermark + tumbling-window per-host
+  discovery rates (late data handled by the watermark);
+* ``stream_politeness_throttle`` — ``applyInPandasWithState``: per-host
+  token-bucket that emits at most quota URLs per trigger and carries the
+  backlog in state — the custom stateful operator slot the reference
+  fills with its recursive loop accumulators.
+
+Tested with a MemoryStream-style rate source + memory sink
+(tests/test_streaming.py); on a cluster the source becomes Kafka/Iceberg
+CDC with identical transformations.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_windowed_counts(events: DataFrame, window: str = "10 seconds",
+                           watermark: str = "30 seconds") -> DataFrame:
+    """Per-host discovered-URL counts in event-time tumbling windows."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("win"), "host")
+        .agg(F.count("*").alias("n_urls"))
+        .select(F.col("win.start").alias("win_start"), "host", "n_urls")
+    )
+
+
+def stream_host_rates(events: DataFrame) -> DataFrame:
+    """Running per-host totals (complete-mode aggregate)."""
+    return events.groupBy("host").agg(F.count("*").alias("total_urls"))
+
+
+_THROTTLE_OUT = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("released_in_batch", T.IntegerType()),
+    ]
+)
+_THROTTLE_STATE = T.StructType(
+    [T.StructField("backlog", T.ArrayType(T.StringType()))]
+)
+
+
+def _throttle_fn(quota: int):
+    def fn(key, pdf_iter, state: GroupState):
+        (host,) = key
+        backlog = list(state.get[0]) if state.exists else []
+        for pdf in pdf_iter:
+            backlog.extend(pdf["url"].tolist())
+        release, backlog = backlog[:quota], backlog[quota:]
+        state.update((backlog,))
+        yield pd.DataFrame(
+            {"host": host, "url": release, "released_in_batch": len(release)}
+        )
+
+    return fn
+
+
+def stream_politeness_throttle(urls: DataFrame, quota_per_trigger: int = 5) -> DataFrame:
+    """Custom stateful operator: per-host token bucket. Each trigger emits
+    ≤ quota URLs per host (FIFO) and keeps the rest in group state —
+    the streaming form of politeness.dequeue."""
+    return urls.groupBy("host").applyInPandasWithState(
+        _throttle_fn(quota_per_trigger),
+        outputStructType=_THROTTLE_OUT,
+        stateStructType=_THROTTLE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

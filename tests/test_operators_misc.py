@@ -1,0 +1,144 @@
+"""Window/ranking ops, sessionization, xpath-model ops, clustering."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators import clustering, sessionize, windows, xpath_model
+from crawler_spark.synth import SynthConfig, corpus_df
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def test_top_k_per_group(spark):
+    rows = [("g1", 1), ("g1", 5), ("g1", 3), ("g2", 9)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = windows.top_k_per_group(df, ["g"], [F.desc("v")], k=2).collect()
+    got = sorted((r.g, r.v) for r in out)
+    assert got == [("g1", 3), ("g1", 5), ("g2", 9)]
+
+
+def test_min_numeric_pick(spark):
+    rows = [("p", "12"), ("p", "3"), ("p", "next"), ("p", "111"), ("q", "nope")]
+    df = spark.createDataFrame(rows, ["g", "text"])
+    out = windows.min_numeric_pick(df, ["g"], "text").collect()
+    assert len(out) == 1 and out[0].text == "3"
+
+
+def test_above_mean_filter(spark):
+    rows = [("p", 1.0), ("p", 2.0), ("p", 9.0)]
+    df = spark.createDataFrame(rows, ["g", "s"])
+    out = windows.above_mean_filter(df, ["g"], "s").collect()
+    assert [r.s for r in out] == [9.0]
+
+
+def test_running_sum(spark):
+    rows = [("u", 1, 10.0), ("u", 2, 5.0), ("u", 3, 1.0)]
+    df = spark.createDataFrame(rows, ["g", "t", "v"])
+    out = windows.running_sum(df, ["g"], ["t"], "v").orderBy("t").collect()
+    assert [r.running for r in out] == [10.0, 15.0, 16.0]
+
+
+def test_seeded_sample_deterministic(spark):
+    df = spark.range(100).withColumn("g", F.lit("a"))
+    a = {r.id for r in windows.seeded_sample_per_group(df, ["g"], 10, ["id"]).collect()}
+    b = {r.id for r in windows.seeded_sample_per_group(df, ["g"], 10, ["id"]).collect()}
+    assert a == b and len(a) == 10
+
+
+def test_sessionize(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    rows = [
+        (1, t0, 100, "c", 1.0, ""),
+        (2, t0 + dt.timedelta(minutes=10), 100, "c", 1.0, ""),
+        (3, t0 + dt.timedelta(minutes=70), 100, "c", 1.0, ""),  # gap > 30m → new session
+        (4, t0, 200, "c", 1.0, ""),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type", "value", "props"])
+    out = {r.event_id: r.session_id for r in sessionize.sessionize(df).collect()}
+    assert out[1] == out[2] == 1 and out[3] == 2 and out[4] == 1
+
+
+def test_sessionize_on_events_table(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    stats = sessionize.session_stats(ev).collect()
+    assert len(stats) > 0
+    assert all(r.n_events >= 1 and r.t_end >= r.t_start for r in stats)
+
+
+@pytest.fixture(scope="module")
+def links(spark):
+    cfg = SynthConfig(n_pages=300, n_hosts=8, with_images=False)
+    return xpath_model.explode_links(corpus_df(spark, cfg)).persist()
+
+
+def test_xpath_char_score(links):
+    out = xpath_model.xpath_char_score(links)
+    r = out.collect()
+    assert len(r) > 0
+    assert all(x.char_score >= x.href_count for x in r)  # texts ≥1 char
+
+
+def test_dominated_prune(spark):
+    rows = [
+        ("p", "x1", "a"), ("p", "x1", "b"), ("p", "x1", "c"),
+        ("p", "x2", "a"), ("p", "x2", "b"),  # subset of x1 → pruned
+        ("p", "x3", "z"),
+    ]
+    df = spark.createDataFrame(rows, ["page_url", "xpath", "href"])
+    kept = {r.xpath for r in xpath_model.dominated_xpath_prune(df).collect()}
+    assert kept == {"x1", "x3"}
+
+
+def test_template_removal(spark):
+    rows = [(f"p{i}", "nav", "http://x/home") for i in range(6)] + [
+        ("p0", "content", "http://x/article1"),
+        ("p1", "content", "http://x/article2"),
+    ]
+    df = spark.createDataFrame(rows, ["page_url", "xpath", "href"])
+    out = xpath_model.remove_template_links(df, min_incidence=5)
+    assert {r.href for r in out.collect()} == {"http://x/article1", "http://x/article2"}
+
+
+def test_pagination_candidates(spark):
+    rows = [
+        ("p", "pager", "u2", "2", 0), ("p", "pager", "u10", "10", 1),
+        ("p", "pager", "unext", "next", 2), ("p", "nav", "uh", "home", 3),
+    ]
+    df = spark.createDataFrame(rows, ["page_url", "xpath", "href", "text", "pos"])
+    out = xpath_model.pagination_candidates(df).collect()
+    assert len(out) == 1 and out[0].next_href == "u2" and out[0].page_no == 2
+
+
+def test_signature_cosine(spark):
+    rows_a = [("pa", "x1", "h1"), ("pa", "x1", "h2"), ("pa", "x2", "h3")]
+    rows_b = [("pb", "x1", "h9"), ("pb", "x1", "h8"), ("pb", "x2", "h7")]
+    la = spark.createDataFrame(rows_a, ["page_url", "xpath", "href"])
+    lb = spark.createDataFrame(rows_b, ["page_url", "xpath", "href"])
+    sa, sb = xpath_model.page_signature(la), xpath_model.page_signature(lb)
+    out = xpath_model.signature_cosine(sa, sb).collect()
+    assert len(out) == 1 and abs(out[0].cosine - 1.0) < 1e-9  # identical shape
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], ["id_a", "id_b"]
+    )
+    comp = {r.id: r.component for r in clustering.connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == 20
+
+
+def test_cluster_assignment_with_singletons(spark):
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    ids = spark.createDataFrame([(1,), (2,), (5,)], ["id"])
+    out = {r.id: r.cluster_id for r in clustering.cluster_pages_by_similarity(pairs, ids).collect()}
+    assert out == {1: 1, 2: 1, 5: 5}
+    ranks = clustering.cluster_size_ranks(
+        clustering.cluster_pages_by_similarity(pairs, ids)
+    ).collect()
+    assert ranks[0].cluster_id == 1 and ranks[0].size == 2
