@@ -1,38 +1,1082 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the crawler_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2; ``oracle_sql()`` carries the DuckDB-runnable ANSI-SQL
+equivalent (same aliases, same rounding) for the side-by-side
+correctness gate. Crawl-graph operators run over a deterministic
+synthetic link graph derived *inside the query* from the ``documents``
+table by pure integer arithmetic, so the SQL oracle sees the identical
+graph (20 hosts, 4 links/page incl. a boilerplate home link, planted
+javascript/nofollow/digit-anchor links).
+
+Conventions keeping the two engines hash-identical:
+* every float output is ``round(x, 4)`` (or money as integer cents);
+* string→int hashing is first-15-hex-chars-of-md5 (``conv`` in Spark,
+  ``('0x'||…)::BIGINT`` in DuckDB) — no engine-private hash functions;
+* ranking ties always broken by an id column.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+N_HOSTS = 20
+
+# ---------------------------------------------------------------------------
+# shared synthetic crawl graph over `documents` (Spark side)
+# ---------------------------------------------------------------------------
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _read(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _url_expr(tgt, tgt_host):
+    return F.concat(
+        F.lit("http://host"), tgt_host.cast("string"), F.lit(".test/p/"), tgt.cast("string")
+    )
+
+
+def _links_df(spark, sf_dir: str) -> DataFrame:
+    """Synthetic out-link table: (doc_id, src_host, j, tgt, tgt_host,
+    is_js, nofollow, text, xpath, href). Pure arithmetic on doc_id —
+    restated 1:1 in SQL by _LINKS_CTE."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    j = F.explode(F.array(*[F.lit(x) for x in range(4)])).alias("j")
+    d = docs.select("doc_id", j)
+    tgt = F.when(F.col("j") == 3, F.col("doc_id") % N_HOSTS).otherwise(
+        (F.col("doc_id") * (F.col("j") + 2) + 7 * F.col("j") + 1) % n
+    )
+    out = d.select(
+        "doc_id",
+        (F.col("doc_id") % N_HOSTS).alias("src_host"),
+        "j",
+        tgt.cast("long").alias("tgt"),
+    )
+    out = out.withColumn("tgt_host", F.col("tgt") % N_HOSTS)
+    out = out.withColumn(
+        "is_js",
+        (F.col("j") < 3) & ((F.col("doc_id") * 7 + F.col("j")) % 13 == 0),
+    ).withColumn(
+        "nofollow",
+        (F.col("j") < 3) & ((F.col("doc_id") * 3 + F.col("j")) % 11 == 0),
+    )
+    out = out.withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") + F.col("j")) % 6 == 0,
+            ((F.col("doc_id") * 5 + F.col("j")) % 20 + 1).cast("string"),
+        ).otherwise(F.concat(F.lit("w"), ((F.col("doc_id") + F.col("j")) % 50).cast("string"))),
+    ).withColumn(
+        "xpath",
+        F.when(F.col("j") == 3, F.lit("xpnav")).otherwise(
+            F.concat(F.lit("xp"), ((F.col("doc_id") * 2 + F.col("j")) % 4).cast("string"))
+        ),
+    )
+    return out.withColumn("href", _url_expr(F.col("tgt"), F.col("tgt_host")))
+
+
+_LINKS_CTE = f"""
+links AS (
+  SELECT d.doc_id,
+         d.doc_id % {N_HOSTS} AS src_host,
+         j.j,
+         CAST(CASE WHEN j.j = 3 THEN d.doc_id % {N_HOSTS}
+              ELSE (d.doc_id * (j.j + 2) + 7 * j.j + 1) % (SELECT count(*) FROM documents)
+              END AS BIGINT) AS tgt,
+         CAST(CASE WHEN j.j = 3 THEN d.doc_id % {N_HOSTS}
+              ELSE (d.doc_id * (j.j + 2) + 7 * j.j + 1) % (SELECT count(*) FROM documents)
+              END AS BIGINT) % {N_HOSTS} AS tgt_host,
+         (j.j < 3 AND (d.doc_id * 7 + j.j) % 13 = 0) AS is_js,
+         (j.j < 3 AND (d.doc_id * 3 + j.j) % 11 = 0) AS nofollow,
+         CASE WHEN (d.doc_id + j.j) % 6 = 0
+              THEN CAST((d.doc_id * 5 + j.j) % 20 + 1 AS VARCHAR)
+              ELSE 'w' || CAST((d.doc_id + j.j) % 50 AS VARCHAR) END AS text,
+         CASE WHEN j.j = 3 THEN 'xpnav'
+              ELSE 'xp' || CAST((d.doc_id * 2 + j.j) % 4 AS VARCHAR) END AS xpath
+  FROM documents d, (VALUES (0), (1), (2), (3)) j(j)
+),
+links2 AS (
+  SELECT *, 'http://host' || CAST(tgt_host AS VARCHAR) || '.test/p/' || CAST(tgt AS VARCHAR) AS href
+  FROM links
+)
+"""
+
+# text normalization shared by dedup/textstats oracles (must mirror
+# crawler_spark.operators.dedup.normalize_text exactly; 'g' = global)
+_NORM = (
+    r"trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g'))"
+)
+_H61 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+_SHINGLES_CTE = f"""
+norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+toks AS (SELECT doc_id, string_split(t, ' ') AS ts FROM norm),
+sh AS (SELECT DISTINCT doc_id, ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
+       FROM toks JOIN generate_series(0, 2000) g(i) ON i <= len(ts) - 4)
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _cents(col):
+    return F.round(col * 100).cast("long")
+
+
+def q_pricing_summary(spark, sf_dir):
+    """A2/A3 analog — TPC-H Q1-style pricing summary."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_cents"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_price_cents"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_join_agg(spark, sf_dir):
+    """J2 hash-lookup join: orders ⋈ customer → per-segment totals."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("sum_price_cents"),
+        )
+    )
+
+
+def q_anti_join(spark, sf_dir):
+    """J1 anti-join: customers that never ordered."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+def q_semi_join(spark, sf_dir):
+    """J3 semi-join: parts referenced by at least one lineitem."""
+    p = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select("p_partkey", "p_brand")
+
+
+def q_top_order_per_customer(spark, sf_dir):
+    """W1 top-1 per group."""
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", _cents(F.col("o_totalprice")).alias("top_price_cents"))
+    )
+
+
+def q_topk_lineitems(spark, sf_dir):
+    """W7 take-k caps: top-3 lineitems per order by price (orders < 500)."""
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("l_orderkey", "l_linenumber", "rnk")
+    )
+
+
+def q_running_sum(spark, sf_dir):
+    """W5 running-sum frame over events (users < 50)."""
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id", F.round(F.sum("value").over(w), 4).alias("running_value")
+    )
+
+
+def q_mean_variance(spark, sf_dir):
+    """A5 mean·variance score per group."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
+        F.round(F.var_pop("l_quantity"), 4).alias("var_qty"),
+        F.round(F.avg("l_quantity") * F.var_pop("l_quantity"), 2).alias("score"),
+    )
+
+
+def q_above_mean(spark, sf_dir):
+    """A7 mean-richness filter: orders ≥ their customer's mean price."""
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("m", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") >= F.col("m"))
+        .select("o_orderkey")
+    )
+
+
+def q_count_ranked(spark, sf_dir):
+    """A11 cluster-size ranks: orders per priority."""
+    o = _read(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+
+
+def q_first_event_per_user(spark, sf_dir):
+    """P11 distinct-by: earliest event per user."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id")
+    )
+
+
+def q_tumbling_hourly(spark, sf_dir):
+    """Event-time tumbling window agg (streaming twin in streaming/)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("win_start"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("sum_value_fp"),
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) per user: session count + events."""
+    from crawler_spark.operators.sessionize import sessionize
+
+    ev = _read(spark, sf_dir, "events")
+    s = sessionize(ev)
+    return s.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    from crawler_spark.operators.textstats import token_count
+
+    d = _read(spark, sf_dir, "documents")
+    return token_count(d, "text", "doc_id").select(
+        F.col("id").alias("doc_id"), "n_tokens", "n_subwords", "n_chars_raw"
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    from crawler_spark.operators.textstats import quality_score
+
+    d = _read(spark, sf_dir, "documents")
+    q = quality_score(d, "text", "doc_id")
+    return q.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        F.round("stop_ratio", 4).alias("stop_ratio"),
+        F.round("quality", 4).alias("quality"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    from crawler_spark.operators.textstats import lang_id
+
+    d = _read(spark, sf_dir, "documents")
+    return lang_id(d, "text", "doc_id").select(F.col("id").alias("doc_id"), "pred_lang")
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from crawler_spark.operators.textstats import doc_fingerprint
+
+    d = _read(spark, sf_dir, "documents")
+    return doc_fingerprint(d, "text", "doc_id").select(
+        F.col("id").alias("doc_id"), "fingerprint"
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    from crawler_spark.operators.dedup import exact_dedup
+
+    d = _read(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id").select(F.col("id").alias("doc_id"), "dup_of")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from crawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.2)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from crawler_spark.operators.dedup import minhash_signatures
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return minhash_signatures(d, "text", "doc_id", num_hashes=8).select(
+        F.col("id").alias("doc_id"), "hash_idx", "minhash"
+    )
+
+
+def q_simhash(spark, sf_dir):
+    from crawler_spark.operators.dedup import simhash
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash(d, "text", "doc_id", bits=16).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+def q_phash_neardup(spark, sf_dir):
+    """Banded phash Hamming pairs vs brute-force SQL oracle — cross-checks
+    the pigeonhole banding. Synthetic structured phash from doc_id."""
+    from crawler_spark.operators.dedup import phash_neardup_pairs
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    base = F.col("doc_id") % 40
+    ph = (base * F.lit(1 << 20) + base * base).cast("long")
+    df = d.select("doc_id", ph.alias("ph"))
+    return phash_neardup_pairs(df, "ph", "doc_id", max_hamming=8)
+
+
+def q_embed_topk(spark, sf_dir):
+    from crawler_spark.operators.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(emb, q, k=5)
+    return out.select("q_id", "n_id", F.round("cosine", 4).alias("cosine"), "rank")
+
+
+def q_embed_lsh_bucket(spark, sf_dir):
+    from crawler_spark.operators.similarity import hyperplane_bucket_expr
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return emb.select(
+        "vec_id", hyperplane_bucket_expr(F.col("embedding"), n_planes=6).alias("bucket")
+    )
+
+
+def q_token_overlap_consec(spark, sf_dir):
+    """SO2/SO3 set ops: distinct-token overlap between doc i and i+1."""
+    d = _read(spark, sf_dir, "documents")
+    from crawler_spark.operators.dedup import normalize_text
+
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(normalize_text(F.col("text")), " "))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    a = toks.alias("a")
+    b = toks.select((F.col("doc_id") - 1).alias("doc_id"), F.col("tok")).alias("b")
+    inter = a.join(b, ["doc_id", "tok"]).groupBy("doc_id").agg(F.count("*").alias("n_common"))
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    nxt = sizes.select((F.col("doc_id") - 1).alias("doc_id"), F.col("sz").alias("sz_next"))
+    return (
+        sizes.join(nxt, "doc_id")
+        .join(inter, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            (F.col("sz") + F.col("sz_next") - F.coalesce("n_common", F.lit(0))).alias("n_union"),
+        )
+    )
+
+
+# ---- crawl-graph queries ----
+
+
+def q_link_extract(spark, sf_dir):
+    """P4-P6 link pipeline: drop javascript/nofollow, keep same-host."""
+    l = _links_df(spark, sf_dir)
+    return (
+        l.filter(~F.col("is_js") & ~F.col("nofollow") & (F.col("tgt_host") == F.col("src_host")))
+        .select("doc_id", "href", "xpath")
+    )
+
+
+def q_url_seen_antijoin(spark, sf_dir):
+    """J1 URL-seen: candidates minus seen (seen = docs with id%3==0)."""
+    l = q_link_extract(spark, sf_dir).select("href").distinct()
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    seen = d.select(_url_expr(F.col("doc_id"), F.col("doc_id") % N_HOSTS).alias("href"))
+    return l.join(seen, "href", "left_anti")
+
+
+def q_politeness_quota(spark, sf_dir):
+    """PO1 politeness window: first 5 pages per host by doc_id."""
+    d = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("host").orderBy("doc_id")
+    return (
+        d.select("doc_id", (F.col("doc_id") % N_HOSTS).alias("host"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+def q_host_page_counts(spark, sf_dir):
+    """A2 frequencies: pages per host."""
+    d = _read(spark, sf_dir, "documents")
+    return d.groupBy((F.col("doc_id") % N_HOSTS).alias("host")).agg(
+        F.count("*").alias("n_pages")
+    )
+
+
+def q_pagination_pick(spark, sf_dir):
+    """W2 smallest-numeric-anchor pagination pick per (host, xpath)."""
+    l = _links_df(spark, sf_dir).filter(~F.col("is_js"))
+    digits = l.filter(F.col("text").rlike("^[0-9]+$"))
+    w = Window.partitionBy("src_host", "xpath").orderBy(
+        F.col("text").cast("long").asc(), F.col("doc_id").asc(), F.col("j").asc()
+    )
+    return (
+        digits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("src_host", "xpath", F.col("text").cast("long").alias("page_no"), "href")
+    )
+
+
+def q_xpath_char_score(spark, sf_dir):
+    """A3 char score per xpath."""
+    l = _links_df(spark, sf_dir).filter(~F.col("is_js"))
+    return l.groupBy("xpath").agg(
+        F.sum(F.length("text")).alias("char_score"), F.count("*").alias("href_count")
+    )
+
+
+def q_template_incidence(spark, sf_dir):
+    """P10/A8 template learning: (xpath, href) on ≥5 distinct pages."""
+    l = _links_df(spark, sf_dir).filter(~F.col("is_js"))
+    return (
+        l.groupBy("xpath", "href")
+        .agg(F.countDistinct("doc_id").alias("incidence"))
+        .filter(F.col("incidence") >= 5)
+    )
+
+
+def q_dominated_prune(spark, sf_dir):
+    """J4 subset-containment prune over per-page xpath href-sets."""
+    from crawler_spark.operators.xpath_model import dominated_xpath_prune
+
+    l = (
+        _links_df(spark, sf_dir)
+        .filter(~F.col("is_js"))
+        .select(F.col("doc_id").cast("string").alias("page_url"), "xpath", "href")
+        .distinct()
+    )
+    out = dominated_xpath_prune(l)
+    return out.select(
+        F.col("page_url").cast("long").alias("doc_id"), "xpath", F.col("n").alias("n_hrefs")
+    )
+
+
+def q_enum_scores(spark, sf_dir):
+    """A6 enum-candidate score per xpath."""
+    l = _links_df(spark, sf_dir).filter(~F.col("is_js")).select(
+        F.col("doc_id").alias("page_url"), "xpath", "href"
+    )
+    from crawler_spark.operators.xpath_model import enum_candidate_score
+
+    out = enum_candidate_score(l)
+    return out.select(
+        "xpath", "total_hrefs", "df", F.round("score", 4).alias("score")
+    )
+
+
+def q_yield_estimate(spark, sf_dir):
+    """A9 per-xpath max per-page yield."""
+    l = _links_df(spark, sf_dir).filter(~F.col("is_js")).select(
+        F.col("doc_id").alias("page_url"), "xpath", "href"
+    )
+    from crawler_spark.operators.xpath_model import yield_estimate
+
+    return yield_estimate(l, None).select("xpath", "max_yield")
+
+
+def q_signature_cosine_consec(spark, sf_dir):
+    """C5 page-signature cosine between consecutive pages (docs < 300)."""
+    from crawler_spark.operators.xpath_model import page_signature, signature_cosine
+
+    l = (
+        _links_df(spark, sf_dir)
+        .filter(~F.col("is_js") & (F.col("doc_id") < 300))
+        .select(F.col("doc_id").alias("page_url"), "xpath", "href")
+    )
+    sig = page_signature(l)
+    out = signature_cosine(sig, sig).filter(F.col("pb") == F.col("pa") + 1)
+    return out.select(
+        F.col("pa").alias("doc_id"), F.round("cosine", 4).alias("cosine")
+    )
+
+
+def q_connected_components(spark, sf_dir):
+    """C6 single-linkage clustering as connected components over a
+    deterministic edge list."""
+    from crawler_spark.operators.clustering import connected_components
+
+    d = _read(spark, sf_dir, "documents")
+    e1 = d.filter((F.col("doc_id") % 37 == 0) & (F.col("doc_id") > 0)).select(
+        (F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    e2 = d.filter(F.col("doc_id") % 53 == 0).select(
+        F.col("doc_id").alias("id_a"), ((F.col("doc_id") * 2 + 1) % 500).alias("id_b")
+    )
+    return connected_components(e1.unionByName(e2)).select("id", "component")
+
+
+# ---- rows-only queries (no exact SQL restatement) ----
+
+
+def q_crawl_epoch(spark, sf_dir):
+    """One full engine epoch on a mini synthetic web: politeness dequeue →
+    fetch join → extract → seen anti-join. Rows-only check (the exact-
+    match gate for the full engine is tests/test_engine_parity.py, which
+    compares multi-epoch crawl order against the sequential oracle)."""
+    from crawler_spark.engine import CrawlEngine, EngineConfig
+    from crawler_spark.schema import ROBOTS_SCHEMA
+    from crawler_spark.synth import SynthConfig, corpus_df, robots_rows, seed_urls
+    import tempfile
+
+    cfg = SynthConfig(n_pages=300, n_hosts=8, with_images=False)
+    corpus = corpus_df(spark, cfg)
+    robots = spark.createDataFrame(robots_rows(cfg), ROBOTS_SCHEMA)
+    eng = CrawlEngine(
+        spark,
+        corpus,
+        robots,
+        EngineConfig(max_epochs=2, epoch_ms=8000, checkpoint_dir=tempfile.mkdtemp()),
+    )
+    eng.run(seed_urls(cfg, 4))
+    return eng.crawl_order
+
+
+def q_image_decode_stats(spark, sf_dir):
+    """Multimodal decode over binary image column (rows-only: the codec
+    is the sandbox stub; plumbing is what's exercised)."""
+    from crawler_spark.multimodal import decode_stats
+    from crawler_spark.synth import SynthConfig, corpus_df
+
+    cfg = SynthConfig(n_pages=100, n_hosts=5, with_images=True)
+    return decode_stats(corpus_df(spark, cfg))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH banded candidate pairs + signature-agreement verify."""
+    from crawler_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = minhash_lsh_pairs(d, "text", "doc_id", num_hashes=8, bands=4, threshold=0.3)
+    return out.select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbors (rows-only; recall vs
+    brute force asserted in tests/test_similarity.py)."""
+    from crawler_spark.operators.similarity import lsh_ann_topk
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    return lsh_ann_topk(emb, q, k=3, n_planes=6, n_tables=2).select(
+        "q_id", "n_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core (SURVEY §2.3-2.7)
+        "pricing_summary": q_pricing_summary,
+        "join_agg": q_join_agg,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "top_order_per_customer": q_top_order_per_customer,
+        "topk_lineitems": q_topk_lineitems,
+        "running_sum": q_running_sum,
+        "mean_variance": q_mean_variance,
+        "above_mean": q_above_mean,
+        "count_ranked": q_count_ranked,
+        "first_event_per_user": q_first_event_per_user,
+        "tumbling_hourly": q_tumbling_hourly,
+        "sessionize": q_sessionize,
+        # text analysis
+        "token_counts": q_token_counts,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "token_overlap_consec": q_token_overlap_consec,
+        # dedup family
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "phash_neardup": q_phash_neardup,
+        # similarity search
+        "embed_topk": q_embed_topk,
+        "embed_lsh_bucket": q_embed_lsh_bucket,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        # crawl graph (SURVEY §2.2, §2.12)
+        "link_extract": q_link_extract,
+        "url_seen_antijoin": q_url_seen_antijoin,
+        "politeness_quota": q_politeness_quota,
+        "host_page_counts": q_host_page_counts,
+        "pagination_pick": q_pagination_pick,
+        "xpath_char_score": q_xpath_char_score,
+        "template_incidence": q_template_incidence,
+        "dominated_prune": q_dominated_prune,
+        "enum_scores": q_enum_scores,
+        "yield_estimate": q_yield_estimate,
+        "signature_cosine_consec": q_signature_cosine_consec,
+        "connected_components": q_connected_components,
+        # engine / multimodal (rows-only)
+        "crawl_epoch": q_crawl_epoch,
+        "image_decode_stats": q_image_decode_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sqls: dict[str, str] = {}
+
+    sqls["pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+               round(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY 1, 2
     """
-    return {}
+    sqls["join_agg"] = """
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    """
+    sqls["anti_join"] = """
+        SELECT c_custkey FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """
+    sqls["semi_join"] = """
+        SELECT p_partkey, p_brand FROM part p
+        WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """
+    sqls["top_order_per_customer"] = """
+        SELECT o_custkey, o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS top_price_cents
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) WHERE rn = 1
+    """
+    sqls["topk_lineitems"] = """
+        SELECT l_orderkey, l_linenumber, rnk FROM (
+            SELECT l_orderkey, l_linenumber,
+                   row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_extendedprice DESC, l_linenumber) AS rnk
+            FROM lineitem WHERE l_orderkey < 500)
+        WHERE rnk <= 3
+    """
+    sqls["running_sum"] = """
+        SELECT user_id, event_id,
+               round(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+        FROM events WHERE user_id < 50
+    """
+    sqls["mean_variance"] = """
+        SELECT l_returnflag,
+               round(AVG(l_quantity), 4) AS mean_qty,
+               round(var_pop(l_quantity), 4) AS var_qty,
+               round(AVG(l_quantity) * var_pop(l_quantity), 2) AS score
+        FROM lineitem GROUP BY 1
+    """
+    sqls["above_mean"] = """
+        SELECT o_orderkey FROM (
+            SELECT o_orderkey, o_totalprice,
+                   AVG(o_totalprice) OVER (PARTITION BY o_custkey) AS m
+            FROM orders)
+        WHERE o_totalprice >= m
+    """
+    sqls["count_ranked"] = """
+        SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY 1
+    """
+    sqls["first_event_per_user"] = """
+        SELECT user_id, event_id FROM (
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events) WHERE rn = 1
+    """
+    sqls["tumbling_hourly"] = """
+        SELECT date_trunc('hour', ts) AS win_start, event_type,
+               COUNT(*) AS n,
+               SUM(CAST(round(value * 10000) AS BIGINT)) AS sum_value_fp
+        FROM events GROUP BY 1, 2
+    """
+    sqls["sessionize"] = """
+        WITH lagged AS (
+            SELECT user_id, event_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events),
+        flags AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN prev_ts IS NULL
+                             OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+            FROM lagged),
+        sess AS (
+            SELECT user_id,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM flags)
+        SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+        FROM sess GROUP BY 1
+    """
+    sqls["token_counts"] = f"""
+        WITH norm AS (SELECT doc_id, text, {_NORM} AS t FROM documents),
+        toks AS (SELECT doc_id, text, string_split(t, ' ') AS ts FROM norm),
+        exploded AS (SELECT doc_id, unnest(ts) AS tok FROM toks)
+        SELECT t.doc_id,
+               CAST(len(t.ts) AS INTEGER) AS n_tokens,
+               (SELECT SUM(CAST(ceil(length(e.tok) / 4.0) AS BIGINT))
+                FROM exploded e WHERE e.doc_id = t.doc_id) AS n_subwords,
+               CAST(length(t.text) AS INTEGER) AS n_chars_raw
+        FROM toks t
+    """
+    stop_en = "('the','and','of','to','in','is','that','with')"
+    sqls["text_quality"] = f"""
+        WITH norm AS (SELECT doc_id, text, {_NORM} AS t FROM documents),
+        toks AS (SELECT doc_id, text, string_split(t, ' ') AS ts FROM norm),
+        stats AS (
+            SELECT doc_id,
+                   CAST(len(ts) AS INTEGER) AS n_tokens,
+                   length(text) AS n_chars,
+                   length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
+                   len(list_filter(ts, x -> x IN {stop_en})) AS n_stop
+            FROM toks)
+        SELECT doc_id, n_tokens,
+               round(CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0 END, 4) AS punct_ratio,
+               round(CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0 END, 4) AS stop_ratio,
+               round(
+                 least(n_tokens / 100.0, 1.0) * 0.4
+                 + least((CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0 END) * 4.0, 1.0) * 0.4
+                 + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0 END) * 10.0, 1.0)) * 0.2
+               , 4) AS quality
+        FROM stats
+    """
+    lang_lists = {
+        "de": "('der','die','und','das','ist','nicht','ein','mit')",
+        "en": "('the','and','of','to','in','is','that','with')",
+        "es": "('el','la','los','que','es','una','con','por')",
+        "fr": "('le','la','et','les','des','est','une','dans')",
+    }
+    hits = ", ".join(
+        f"len(list_filter(ts, x -> x IN {words})) AS hits_{lang}"
+        for lang, words in lang_lists.items()
+    )
+    # argmax with (hits desc, lang asc) tie-break mirrors the Spark
+    # rank = hits*1000 - index encoding
+    sqls["lang_id"] = f"""
+        WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+        toks AS (SELECT doc_id, string_split(t, ' ') AS ts FROM norm),
+        h AS (SELECT doc_id, {hits} FROM toks),
+        ranked AS (
+            SELECT doc_id, greatest(hits_de*1000 - 0, hits_en*1000 - 1,
+                                    hits_es*1000 - 2, hits_fr*1000 - 3) AS best,
+                   hits_de, hits_en, hits_es, hits_fr
+            FROM h)
+        SELECT doc_id,
+               CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                    WHEN best = hits_de*1000 - 0 THEN 'de'
+                    WHEN best = hits_en*1000 - 1 THEN 'en'
+                    WHEN best = hits_es*1000 - 2 THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM ranked
+    """
+    sqls["doc_fingerprint"] = f"""
+        WITH {_SHINGLES_CTE.strip().lstrip()},
+        hashed AS (SELECT DISTINCT doc_id, {_H61.format(x='s')} AS h FROM sh),
+        ranked AS (SELECT doc_id, h,
+                          row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+                   FROM hashed)
+        SELECT doc_id, string_agg(CAST(h AS VARCHAR), '-' ORDER BY h) AS fingerprint
+        FROM ranked WHERE rn <= 8 GROUP BY doc_id
+    """
+    sqls["dedup_exact"] = f"""
+        WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+        hashed AS (SELECT doc_id, {_H61.format(x='t')} AS th FROM norm)
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY th) AS dup_of FROM hashed
+    """
+    sqls["ngram_jaccard"] = f"""
+        WITH {_SHINGLES_CTE.strip().lstrip()},
+        hashed AS (SELECT DISTINCT doc_id, {_H61.format(x='s')} AS h FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hashed GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS m
+                  FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(m / CAST(sa.sz + sb.sz - m AS DOUBLE), 4) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                   JOIN sizes sb ON sb.doc_id = id_b
+        WHERE m / CAST(sa.sz + sb.sz - m AS DOUBLE) >= 0.2
+    """
+    sqls["minhash_signatures"] = f"""
+        WITH docs AS (SELECT * FROM documents WHERE doc_id < 200),
+        norm AS (SELECT doc_id, {_NORM} AS t FROM docs),
+        toks AS (SELECT doc_id, string_split(t, ' ') AS ts FROM norm),
+        sh AS (SELECT DISTINCT doc_id, ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
+               FROM toks JOIN generate_series(0, 2000) g(i) ON i <= len(ts) - 4),
+        hashed AS (SELECT DISTINCT doc_id, ({_H61.format(x='s')}) % 2147483647 AS x FROM sh),
+        expanded AS (SELECT doc_id, x, CAST(g.i AS INTEGER) AS hash_idx
+                     FROM hashed JOIN generate_series(0, 7) g(i) ON true)
+        SELECT doc_id, hash_idx,
+               MIN(((hash_idx * 2 + 1) * x + hash_idx * 7919 + 1) % 2147483647) AS minhash
+        FROM expanded GROUP BY 1, 2
+    """
+    sqls["minhash_lsh_pairs"] = f"""
+        WITH docs AS (SELECT * FROM documents WHERE doc_id < 200),
+        norm AS (SELECT doc_id, {_NORM} AS t FROM docs),
+        toks AS (SELECT doc_id, string_split(t, ' ') AS ts FROM norm),
+        sh AS (SELECT DISTINCT doc_id, ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
+               FROM toks JOIN generate_series(0, 2000) g(i) ON i <= len(ts) - 4),
+        hashed AS (SELECT DISTINCT doc_id, ({_H61.format(x='s')}) % 2147483647 AS x FROM sh),
+        expanded AS (SELECT doc_id, x, CAST(g.i AS INTEGER) AS hash_idx
+                     FROM hashed JOIN generate_series(0, 7) g(i) ON true),
+        sig AS (SELECT doc_id, hash_idx,
+                       MIN(((hash_idx * 2 + 1) * x + hash_idx * 7919 + 1) % 2147483647) AS minhash
+                FROM expanded GROUP BY 1, 2),
+        banded AS (SELECT doc_id, hash_idx // 2 AS band,
+                          list(minhash ORDER BY hash_idx) AS band_sig
+                   FROM sig GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                 FROM banded x JOIN banded y
+                   ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+        agree AS (SELECT c.id_a, c.id_b,
+                         SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 8.0 AS est
+                  FROM cand c
+                  JOIN sig sa ON sa.doc_id = c.id_a
+                  JOIN sig sb ON sb.doc_id = c.id_b AND sb.hash_idx = sa.hash_idx
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b, round(est, 4) AS est_jaccard FROM agree WHERE est >= 0.3
+    """
+    sqls["simhash"] = f"""
+        WITH docs AS (SELECT * FROM documents WHERE doc_id < 200),
+        norm AS (SELECT doc_id, {_NORM} AS t FROM docs),
+        toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+        nonempty AS (SELECT doc_id, tok, {_H61.format(x='tok')} AS x
+                     FROM toks WHERE tok <> ''),
+        contrib AS (SELECT doc_id, CAST(g.i AS INTEGER) AS bit,
+                           CASE WHEN (x >> g.i) & 1 = 1 THEN 1 ELSE -1 END AS v
+                    FROM nonempty JOIN generate_series(0, 15) g(i) ON true),
+        sums AS (SELECT doc_id, bit, SUM(v) AS s FROM contrib GROUP BY 1, 2)
+        SELECT doc_id,
+               SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+        FROM sums GROUP BY 1
+    """
+    sqls["phash_neardup"] = """
+        WITH ph AS (SELECT doc_id,
+                           CAST((doc_id % 40) * 1048576 + (doc_id % 40) * (doc_id % 40) AS BIGINT) AS ph
+                    FROM documents WHERE doc_id < 400)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+        FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ph, b.ph)) <= 8
+    """
+    sqls["embed_topk"] = """
+        WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+        scored AS (
+            SELECT q.q_id, e.vec_id AS n_id,
+                   list_cosine_similarity(q.q_vec, e.embedding) AS cos
+            FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+        ranked AS (
+            SELECT q_id, n_id, cos,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+            FROM scored)
+        SELECT q_id, n_id, round(cos, 4) AS cosine, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5
+    """
+    sqls["embed_lsh_bucket"] = """
+        WITH dims AS (SELECT CAST(g.i AS INTEGER) AS d FROM generate_series(0, 63) g(i)),
+        planes AS (SELECT CAST(g.i AS INTEGER) AS p FROM generate_series(0, 5) g(i)),
+        proj AS (
+            SELECT e.vec_id, planes.p,
+                   SUM(CAST(e.embedding[dims.d + 1] AS DOUBLE)
+                       * (((planes.p * 131 + dims.d * 137) % 997) - 498)) AS pr
+            FROM embeddings e, dims, planes
+            WHERE dims.d < len(e.embedding)
+            GROUP BY 1, 2)
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN pr > 0 THEN 1 << p ELSE 0 END) AS INTEGER) AS bucket
+        FROM proj GROUP BY 1
+    """
+    sqls["token_overlap_consec"] = f"""
+        WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+        toks AS (SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+        ne AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ne GROUP BY 1),
+        inter AS (SELECT a.doc_id, COUNT(*) AS n_common
+                  FROM ne a JOIN ne b ON b.doc_id = a.doc_id + 1 AND b.tok = a.tok
+                  GROUP BY 1)
+        SELECT s.doc_id,
+               COALESCE(i.n_common, 0) AS n_common,
+               s.sz + sn.sz - COALESCE(i.n_common, 0) AS n_union
+        FROM sizes s
+        JOIN sizes sn ON sn.doc_id = s.doc_id + 1
+        LEFT JOIN inter i ON i.doc_id = s.doc_id
+    """
+    # ---- crawl graph ----
+    sqls["link_extract"] = f"""
+        WITH {_LINKS_CTE.strip().lstrip('WITH').strip()}
+        SELECT doc_id, href, xpath FROM links2
+        WHERE NOT is_js AND NOT nofollow AND tgt_host = src_host
+    """
+    sqls["url_seen_antijoin"] = f"""
+        WITH {_LINKS_CTE.strip().lstrip('WITH').strip()},
+        cand AS (SELECT DISTINCT href FROM links2
+                 WHERE NOT is_js AND NOT nofollow AND tgt_host = src_host),
+        seen AS (SELECT 'http://host' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+                        || '.test/p/' || CAST(doc_id AS VARCHAR) AS href
+                 FROM documents WHERE doc_id % 3 = 0)
+        SELECT href FROM cand WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.href = cand.href)
+    """
+    sqls["politeness_quota"] = f"""
+        SELECT doc_id, host, rn FROM (
+            SELECT doc_id, doc_id % {N_HOSTS} AS host,
+                   row_number() OVER (PARTITION BY doc_id % {N_HOSTS} ORDER BY doc_id) AS rn
+            FROM documents)
+        WHERE rn <= 5
+    """
+    sqls["host_page_counts"] = f"""
+        SELECT doc_id % {N_HOSTS} AS host, COUNT(*) AS n_pages
+        FROM documents GROUP BY 1
+    """
+    sqls["pagination_pick"] = f"""
+        WITH {_LINKS_CTE.strip().lstrip('WITH').strip()},
+        digits AS (SELECT * FROM links2
+                   WHERE NOT is_js AND regexp_matches(text, '^[0-9]+$')),
+        ranked AS (SELECT src_host, xpath, CAST(text AS BIGINT) AS page_no, href,
+                          row_number() OVER (PARTITION BY src_host, xpath
+                                             ORDER BY CAST(text AS BIGINT), doc_id, j) AS rn
+                   FROM digits)
+        SELECT src_host, xpath, page_no, href FROM ranked WHERE rn = 1
+    """
+    sqls["xpath_char_score"] = f"""
+        WITH {_LINKS_CTE.strip().lstrip('WITH').strip()}
+        SELECT xpath, SUM(length(text)) AS char_score, COUNT(*) AS href_count
+        FROM links2 WHERE NOT is_js GROUP BY 1
+    """
+    sqls["template_incidence"] = f"""
+        WITH {_LINKS_CTE.strip().lstrip('WITH').strip()}
+        SELECT xpath, href, COUNT(DISTINCT doc_id) AS incidence
+        FROM links2 WHERE NOT is_js GROUP BY 1, 2
+        HAVING COUNT(DISTINCT doc_id) >= 5
+    """
+    sqls["dominated_prune"] = f"""
+        WITH {_LINKS_CTE.strip().lstrip('WITH').strip()},
+        la AS (SELECT DISTINCT doc_id, xpath, href FROM links2 WHERE NOT is_js),
+        sizes AS (SELECT doc_id, xpath, COUNT(*) AS sz FROM la GROUP BY 1, 2),
+        pairmatch AS (
+            SELECT a.doc_id, a.xpath AS xa, b.xpath AS xb, COUNT(*) AS m
+            FROM la a JOIN la b ON a.doc_id = b.doc_id AND a.href = b.href AND a.xpath <> b.xpath
+            GROUP BY 1, 2, 3),
+        dom AS (
+            SELECT DISTINCT p.doc_id, p.xa AS xpath
+            FROM pairmatch p
+            JOIN sizes sa ON sa.doc_id = p.doc_id AND sa.xpath = p.xa
+            JOIN sizes sb ON sb.doc_id = p.doc_id AND sb.xpath = p.xb
+            WHERE p.m = sa.sz AND (sa.sz < sb.sz OR (sa.sz = sb.sz AND p.xa > p.xb)))
+        SELECT s.doc_id, s.xpath, s.sz AS n_hrefs
+        FROM sizes s
+        WHERE NOT EXISTS (SELECT 1 FROM dom d WHERE d.doc_id = s.doc_id AND d.xpath = s.xpath)
+    """
+    sqls["enum_scores"] = f"""
+        WITH {_LINKS_CTE.strip().lstrip('WITH').strip()},
+        per_page AS (SELECT xpath, doc_id, COUNT(*) AS n_hrefs
+                     FROM links2 WHERE NOT is_js GROUP BY 1, 2)
+        SELECT xpath, SUM(n_hrefs) AS total_hrefs, COUNT(DISTINCT doc_id) AS df,
+               round(ln(SUM(n_hrefs) + 10) / COUNT(DISTINCT doc_id), 4) AS score
+        FROM per_page GROUP BY 1
+    """
+    sqls["yield_estimate"] = f"""
+        WITH {_LINKS_CTE.strip().lstrip('WITH').strip()},
+        per_page AS (SELECT xpath, doc_id, COUNT(*) AS n FROM links2
+                     WHERE NOT is_js GROUP BY 1, 2)
+        SELECT xpath, MAX(n) AS max_yield FROM per_page GROUP BY 1
+    """
+    sqls["signature_cosine_consec"] = f"""
+        WITH {_LINKS_CTE.strip().lstrip('WITH').strip()},
+        sig AS (SELECT doc_id, xpath, COUNT(*) AS n FROM links2
+                WHERE NOT is_js AND doc_id < 300 GROUP BY 1, 2),
+        dots AS (SELECT a.doc_id, SUM(a.n * b.n) AS dot
+                 FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1 AND b.xpath = a.xpath
+                 GROUP BY 1),
+        norms AS (SELECT doc_id, sqrt(SUM(n * n)) AS nrm FROM sig GROUP BY 1)
+        SELECT d.doc_id, round(d.dot / (na.nrm * nb.nrm), 4) AS cosine
+        FROM dots d
+        JOIN norms na ON na.doc_id = d.doc_id
+        JOIN norms nb ON nb.doc_id = d.doc_id + 1
+    """
+    sqls["connected_components"] = """
+        WITH RECURSIVE edges AS (
+            SELECT doc_id - 1 AS a, doc_id AS b FROM documents
+            WHERE doc_id % 37 = 0 AND doc_id > 0
+            UNION ALL
+            SELECT doc_id AS a, (doc_id * 2 + 1) % 500 AS b FROM documents
+            WHERE doc_id % 53 = 0),
+        sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        nodes AS (SELECT DISTINCT a AS id FROM sym),
+        reach(id, comp) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT s.a, r.comp FROM sym s JOIN reach r ON r.id = s.b)
+        SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+    """
+    return sqls
+
+
+# ---------------------------------------------------------------------------
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship smoke: the crawl pipeline composite on sf0.001 — politeness
+    window → link extraction with filters → URL-seen anti-join → per-host
+    scheduling summary."""
+    sf = "/root/testdata/sf0.001"
+    scheduled = q_politeness_quota(spark, sf).groupBy("host").agg(
+        F.count("*").alias("scheduled")
+    )
+    cands = q_link_extract(spark, sf).groupBy(
+        (F.col("doc_id") % N_HOSTS).alias("host")
+    ).agg(F.count("*").alias("candidates"))
+    fresh = (
+        q_url_seen_antijoin(spark, sf)
+        .select(
+            F.regexp_extract("href", r"http://host(\d+)\.test", 1).cast("long").alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count("*").alias("new_urls"))
+    )
+    return (
+        scheduled.join(cands, "host", "left")
+        .join(fresh, "host", "left")
+        .select(
+            "host",
+            "scheduled",
+            F.coalesce("candidates", F.lit(0)).alias("candidates"),
+            F.coalesce("new_urls", F.lit(0)).alias("new_urls"),
+        )
+        .orderBy("host")
+    )

@@ -116,12 +116,13 @@ def minhash_signatures(
     """(id, hash_idx, minhash): min over a universal-hash family
     h_i(x) = (a_i*x + b_i) mod p applied to shingle hashes — expressed as
     groupBy-min (map-side partial agg; one shuffle keyed on id)."""
-    p = 2305843009213693951  # 2^61 - 1 (Mersenne)
+    # p = 2^31-1 keeps a*x' + b < 2^63 (ANSI mode raises on long overflow)
+    p = 2147483647
     sh = (
         df.select(F.col(id_col).alias("id"), F.explode(shingles_col(F.col(text_col), n)).alias("sh"))
         .filter(F.col("sh") != "")
         .distinct()
-        .withColumn("x", md5_hash61(F.col("sh")))
+        .withColumn("x", F.pmod(md5_hash61(F.col("sh")), F.lit(p)))
     )
     idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_idx")
     expanded = sh.select("id", "x", idx)
@@ -185,13 +186,15 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
         .withColumn("x", md5_hash61(F.col("tok")))
     )
     bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    # F.shiftright/shiftleft take a literal int; column shift amounts need
+    # the SQL form
     contrib = toks.select("id", "x", bit).withColumn(
-        "v", F.when(F.shiftright(F.col("x"), F.col("bit")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        "v", F.when(F.expr("(x >> bit) & 1") == 1, 1).otherwise(-1)
     )
     return (
         contrib.groupBy("id", "bit")
         .agg(F.sum("v").alias("s"))
-        .withColumn("bitval", F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit"))).otherwise(0))
+        .withColumn("bitval", F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0)))
         .groupBy("id")
         .agg(F.sum("bitval").alias("simhash"))
     )
@@ -201,19 +204,18 @@ def simhash_neardup_pairs(
     df: DataFrame, text_col: str, id_col: str, bits: int = 32, max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, blocked
-    by bit-bands (pigeonhole: distance ≤ d ⇒ some band of bits equal)."""
+    by bit-bands (pigeonhole: d differences across d+1 bands leave at
+    least one band difference-free)."""
     sig = simhash(df, text_col, id_col, bits)
     n_bands = max_hamming + 1
-    band_bits = bits // n_bands
+    band_bits = max(1, bits // n_bands)
     bands = sig.select(
         "id",
         "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
     ).withColumn(
         "band_val",
-        F.shiftright(F.col("simhash"), F.col("band") * band_bits).bitwiseAND(
-            F.lit((1 << band_bits) - 1)
-        ),
+        F.expr(f"(simhash >> (band * {band_bits})) & {(1 << band_bits) - 1}"),
     )
     cand = (
         bands.alias("x")
@@ -235,15 +237,20 @@ def simhash_neardup_pairs(
 def phash_neardup_pairs(df: DataFrame, phash_col: str, id_col: str, max_hamming: int = 8) -> DataFrame:
     """Image near-dup by perceptual-hash Hamming distance (the graft's
     vectorized analog of RTDM tree-edit similarity, similarity.clj:7-125),
-    banded like simhash for sub-quadratic candidate generation."""
-    n_bands = 4
-    band_bits = 16
+    banded like simhash for sub-quadratic candidate generation.
+
+    Pigeonhole guarantee needs n_bands = max_hamming + 1: with d
+    differences and d+1 bands, at least one band is difference-free even
+    if every difference lands in a distinct band (tail bits not covered
+    by a band only reduce the number of dirty bands)."""
+    n_bands = max_hamming + 1
+    band_bits = max(1, 64 // n_bands)
     sig = df.select(F.col(id_col).alias("id"), F.col(phash_col).alias("ph"))
     bands = sig.select(
         "id", "ph", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
     ).withColumn(
         "band_val",
-        F.shiftright(F.col("ph"), F.col("band") * band_bits).bitwiseAND(F.lit((1 << band_bits) - 1)),
+        F.expr(f"(ph >> (band * {band_bits})) & {(1 << band_bits) - 1}"),
     )
     cand = (
         bands.alias("x")

@@ -60,18 +60,23 @@ def brute_force_topk(
     )
 
 
-def hyperplane_bucket_expr(vec_col, n_planes: int = 8, dim: int | None = None):
+def hyperplane_bucket_expr(vec_col, n_planes: int = 8, table: int = 0):
     """Random-hyperplane LSH bucket id: sign bits of <v, h_p> packed to an
     int. Hyperplane weights are a deterministic integer function of
-    (plane, dim): w = ((p*131 + d*137) % 997) - 498 — reproducible in
-    plain SQL, no RNG state."""
+    (table, plane, dim): w = (((t*97 + p)*131 + d*137) % 997) - 498 —
+    reproducible in plain SQL, no RNG state."""
+    def weight_fn(pp):
+        # two-arg lambda for zip_with; pp captured by closure (a default
+        # arg would change the lambda's arity as seen by Spark)
+        return lambda v, d: v * (((F.lit(pp * 131) + d * 137) % 997) - 498)
+
     bits = []
     for p in range(n_planes):
         proj = F.aggregate(
             F.zip_with(
                 vec_col,
                 F.sequence(F.lit(0), F.size(vec_col) - 1),
-                lambda v, d: v * (((F.lit(p * 131) + d * 137) % 997) - 498),
+                weight_fn(table * 97 + p),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
@@ -90,21 +95,38 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 3,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's hyperplane
-    bucket (equi-join on bucket id → hash join, no cross product). At 16
-    planes / 65k buckets this is the 1000-executor-friendly shape: the
-    corpus is bucketed once and reused across query batches."""
-    bucket = hyperplane_bucket_expr(F.col(vec_col), n_planes)
-    c = df.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), bucket.alias("bucket")
-    )
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), bucket.alias("bucket")
-    )
+    bucket in any of n_tables independent tables (equi-join on
+    (table, bucket) → hash join, no cross product; multiple tables is the
+    standard recall lever). At 16 planes / 65k buckets per table this is
+    the 1000-executor-friendly shape: the corpus is bucketed once and
+    reused across query batches."""
+
+    def with_buckets(d, idc, vecc, id_out, vec_out):
+        parts = []
+        for t in range(n_tables):
+            parts.append(
+                d.select(
+                    F.col(idc).alias(id_out),
+                    F.col(vecc).alias(vec_out),
+                    F.lit(t).alias("table"),
+                    hyperplane_bucket_expr(F.col(vecc), n_planes, t).alias("bucket"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    c = with_buckets(df, id_col, vec_col, "n_id", "n_vec")
+    q = with_buckets(queries, id_col, vec_col, "q_id", "q_vec")
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", "q_vec", "n_vec")
+        .distinct()  # same pair may collide in several tables
         .withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("n_vec")))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))

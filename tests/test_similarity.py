@@ -51,15 +51,13 @@ def test_lsh_ann_recall(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 10)
     exact = similarity.brute_force_topk(emb, q, k=3)
-    approx = similarity.lsh_ann_topk(emb, q, k=3, n_planes=4)
+    approx = similarity.lsh_ann_topk(emb, q, k=3, n_planes=4, n_tables=3)
     assert_no_cartesian(approx)
     e = {(r.q_id, r.n_id) for r in exact.collect()}
     a = {(r.q_id, r.n_id) for r in approx.collect()}
-    # LSH with 4 planes keeps ~1/16 of candidates; same-bucket top-1
-    # recall should still be substantial on clustered data
-    assert len(a & e) >= len(e) * 0.3
-    # every approx neighbor must share the query's bucket by construction
-    assert all(pair in {(r.q_id, r.n_id) for r in approx.collect()} for pair in a)
+    # 4-plane buckets keep ~1/16 of candidates per table; 3 tables must
+    # recover a substantial share of the exact top-3
+    assert len(a & e) >= len(e) * 0.3, (len(a & e), len(e))
 
 
 def test_ivf_assign_partitions(planted):
