@@ -541,6 +541,56 @@ def q_connected_components(spark, sf_dir):
     return connected_components(e1.unionByName(e2)).select("id", "component")
 
 
+def q_char_freq_cosine(spark, sf_dir):
+    """C4 char-frequency cosine between consecutive documents."""
+    from crawler_spark.operators.similarity import char_freq_cosine_consec
+
+    d = _read(spark, sf_dir, "documents")
+    out = char_freq_cosine_consec(d, "text", "doc_id")
+    return out.select(F.col("id").alias("doc_id"), F.round("cosine", 4).alias("cosine"))
+
+
+def q_leaf_features(spark, sf_dir):
+    """A12 classifier features + C8 rule-based leaf prediction."""
+    from crawler_spark.operators.textstats import leaf_features
+
+    d = _read(spark, sf_dir, "documents")
+    out = leaf_features(d, "text", "doc_id")
+    return out.withColumnRenamed("id", "doc_id")
+
+
+def q_plan_ordering(spark, sf_dir):
+    """W4 plan ordering: xpath action steps sorted by (depth asc, yield
+    desc) — the execute-model planner's greedy order (execute.clj:10-17,
+    main.clj:208-215)."""
+    l = _links_df(spark, sf_dir).filter(~F.col("is_js"))
+    per_page = l.groupBy("xpath", "doc_id").agg(F.count("*").alias("n"))
+    agg = per_page.groupBy("xpath").agg(F.max("n").alias("max_yield"))
+    agg = agg.withColumn("depth", F.length("xpath"))
+    w = Window.orderBy(F.asc("depth"), F.desc("max_yield"), F.asc("xpath"))
+    return agg.withColumn("plan_rank", F.row_number().over(w)).select(
+        "xpath", "depth", "max_yield", "plan_rank"
+    )
+
+
+def q_seeded_sample(spark, sf_dir):
+    """W6 deterministic 'random' take-3 per host, seeded by an md5-based
+    hash so both engines draw the same sample (utils.clj:279-298 made
+    reproducible per SURVEY.md §7)."""
+    from crawler_spark.operators.dedup import md5_hash61
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % N_HOSTS).alias("host"),
+        md5_hash61(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("host").orderBy("h", "doc_id")
+    return (
+        d.withColumn("samp_rank", F.row_number().over(w))
+        .filter(F.col("samp_rank") <= 3)
+        .select("host", "doc_id", "samp_rank")
+    )
+
+
 # ---- rows-only queries (no exact SQL restatement) ----
 
 
@@ -646,6 +696,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yield_estimate": q_yield_estimate,
         "signature_cosine_consec": q_signature_cosine_consec,
         "connected_components": q_connected_components,
+        "char_freq_cosine": q_char_freq_cosine,
+        "leaf_features": q_leaf_features,
+        "plan_ordering": q_plan_ordering,
+        "seeded_sample": q_seeded_sample,
         # engine / multimodal (rows-only)
         "crawl_epoch": q_crawl_epoch,
         "image_decode_stats": q_image_decode_stats,
@@ -1028,6 +1082,69 @@ def oracle_sql() -> dict[str, str]:
         FROM dots d
         JOIN norms na ON na.doc_id = d.doc_id
         JOIN norms nb ON nb.doc_id = d.doc_id + 1
+    """
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    cf = ", ".join(
+        f"CAST(length(lower(text)) - length(replace(lower(text), '{ch}', '')) AS DOUBLE) AS c_{ch}"
+        for ch in letters
+    )
+    dot = " + ".join(f"a.c_{ch} * b.c_{ch}" for ch in letters)
+    na = " + ".join(f"a.c_{ch} * a.c_{ch}" for ch in letters)
+    nb = " + ".join(f"b.c_{ch} * b.c_{ch}" for ch in letters)
+    sqls["char_freq_cosine"] = f"""
+        WITH vec AS (SELECT doc_id, {cf} FROM documents)
+        SELECT a.doc_id,
+               round(CASE WHEN sqrt({na}) > 0 AND sqrt({nb}) > 0
+                          THEN ({dot}) / (sqrt({na}) * sqrt({nb}))
+                          ELSE 0 END, 4) AS cosine
+        FROM vec a JOIN vec b ON b.doc_id = a.doc_id + 1
+    """
+    sqls["leaf_features"] = f"""
+        WITH norm AS (SELECT doc_id, text, {_NORM} AS t FROM documents),
+        toks AS (SELECT doc_id, text, list_filter(string_split(t, ' '), x -> x <> '') AS ts
+                 FROM norm),
+        feats AS (
+            SELECT doc_id,
+                   CAST(len(ts) AS INTEGER) AS n_tokens,
+                   CAST(length(text) AS INTEGER) AS n_chars,
+                   CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INTEGER) AS n_punct,
+                   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER) AS n_digits,
+                   CAST(len(list_filter(string_split_regex(text, '[.!?]'), s -> trim(s) <> '')) AS INTEGER) AS n_sentences,
+                   round(CASE WHEN len(ts) > 0
+                              THEN list_sum(list_transform(ts, x -> length(x))) / CAST(len(ts) AS DOUBLE)
+                              ELSE 0 END, 4) AS mean_tok_len,
+                   COALESCE(list_max(list_transform(ts, x -> CAST(length(x) AS INTEGER))), 0) AS max_tok_len,
+                   round(CASE WHEN len(ts) > 0
+                              THEN len(list_filter(ts, x -> x IN ('the','and','of','to','in','is','that','with'))) / CAST(len(ts) AS DOUBLE)
+                              ELSE 0 END, 4) AS stop_ratio
+            FROM toks)
+        SELECT *,
+               (n_tokens >= 30 AND
+                (CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0 END) < 0.1)
+               AS is_leaf_pred
+        FROM feats
+    """
+    sqls["plan_ordering"] = f"""
+        WITH {_LINKS_CTE.strip().lstrip('WITH').strip()},
+        per_page AS (SELECT xpath, doc_id, COUNT(*) AS n FROM links2
+                     WHERE NOT is_js GROUP BY 1, 2),
+        agg AS (SELECT xpath, MAX(n) AS max_yield, CAST(length(xpath) AS INTEGER) AS depth
+                FROM per_page GROUP BY xpath)
+        SELECT xpath, depth, max_yield,
+               CAST(row_number() OVER (ORDER BY depth ASC, max_yield DESC, xpath ASC) AS INTEGER)
+                 AS plan_rank
+        FROM agg
+    """
+    sqls["seeded_sample"] = f"""
+        WITH hashed AS (
+            SELECT doc_id, doc_id % {N_HOSTS} AS host,
+                   {_H61.format(x='CAST(doc_id AS VARCHAR)')} AS h
+            FROM documents)
+        SELECT host, doc_id, samp_rank FROM (
+            SELECT host, doc_id,
+                   row_number() OVER (PARTITION BY host ORDER BY h, doc_id) AS samp_rank
+            FROM hashed)
+        WHERE samp_rank <= 3
     """
     sqls["connected_components"] = """
         WITH RECURSIVE edges AS (

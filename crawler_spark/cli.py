@@ -1,0 +1,163 @@
+"""spark-submit entry point.
+
+North-rule deployment shape: ``spark-submit --py-files crawler_spark.zip
+crawler_spark/cli.py crawl --seeds seeds.txt --corpus /path/corpus
+--checkpoint /path/ck --epochs 10``. In the sandbox the same module runs
+under plain ``python`` with a local master. Mirrors the reference CLI
+(``main.clj:307-352`` crawler-options: --start/--num-leaves/--budget →
+seeds/--leaf-limit/--max-pages).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="crawler-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run the epoch-batched frontier crawl")
+    c.add_argument("--seeds", required=True, help="text file, one URL per line")
+    c.add_argument("--corpus", help="parquet path of the fetchable corpus; "
+                                    "omit to use the deterministic synthetic web")
+    c.add_argument("--synth-pages", type=int, default=2000)
+    c.add_argument("--synth-hosts", type=int, default=20)
+    c.add_argument("--robots", help="parquet path of robots rules (host, "
+                                    "disallow_prefixes, crawl_delay_ms)")
+    c.add_argument("--checkpoint", required=True)
+    c.add_argument("--resume", action="store_true",
+                   help="resume from the latest snapshot in --checkpoint")
+    c.add_argument("--epochs", type=int, default=10)
+    c.add_argument("--epoch-ms", type=int, default=30_000)
+    c.add_argument("--max-pages", type=int, default=None,
+                   help="crawl budget (reference --budget, default 1000)")
+    c.add_argument("--leaf-limit", type=int, default=None,
+                   help="leaf budget (reference --num-leaves, default 300)")
+    c.add_argument("--no-bloom", action="store_true")
+    c.add_argument("--master", default=None)
+
+    m = sub.add_parser("learn-model", help="derive the leaf-path model from a "
+                                           "finished crawl checkpoint")
+    m.add_argument("--checkpoint", required=True)
+    m.add_argument("--corpus", help="parquet corpus (omit → synthetic)")
+    m.add_argument("--synth-pages", type=int, default=2000)
+    m.add_argument("--synth-hosts", type=int, default=20)
+    m.add_argument("--out", required=True, help="output path for the model JSON")
+    m.add_argument("--master", default=None)
+    return p
+
+
+def _session(master):
+    from crawler_spark.session import get_spark
+
+    return get_spark("crawler-spark-cli", master=master)
+
+
+def cmd_crawl(args) -> int:
+    from crawler_spark.engine import CrawlEngine, EngineConfig
+    from crawler_spark.schema import ROBOTS_SCHEMA
+    from crawler_spark.sources import read_seed_list
+    from crawler_spark.synth import SynthConfig, corpus_df, robots_rows
+
+    spark = _session(args.master)
+    if args.corpus:
+        corpus = spark.read.parquet(args.corpus)
+    else:
+        corpus = corpus_df(
+            spark, SynthConfig(n_pages=args.synth_pages, n_hosts=args.synth_hosts,
+                               with_images=False)
+        )
+    if args.robots:
+        robots = spark.read.parquet(args.robots)
+    else:
+        robots = spark.createDataFrame(
+            robots_rows(SynthConfig(n_pages=args.synth_pages, n_hosts=args.synth_hosts)),
+            ROBOTS_SCHEMA,
+        )
+    cfg = EngineConfig(
+        max_epochs=args.epochs,
+        epoch_ms=args.epoch_ms,
+        max_pages=args.max_pages,
+        leaf_limit=args.leaf_limit,
+        use_bloom=not args.no_bloom,
+        checkpoint_dir=args.checkpoint,
+    )
+    eng = CrawlEngine(spark, corpus, robots, cfg)
+    if args.resume:
+        eng.resume()
+        manifest = eng.run()
+    else:
+        seeds = [r.url for r in read_seed_list(spark, args.seeds).orderBy("ord").collect()]
+        manifest = eng.run(seeds)
+    summary = {
+        "manifest": manifest,
+        "metrics": [r.asDict() for r in eng.metrics.collect()],
+    }
+    print(json.dumps(summary, default=str))
+    spark.stop()
+    return 0
+
+
+def cmd_learn_model(args) -> int:
+    """Model = frequencies of leaf src-xpaths over the crawl (the learned
+    model of the reference is exactly `frequencies` of leaf paths,
+    crawl.clj:108) + pagination xpaths observed in the paging queue."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from crawler_spark.synth import SynthConfig, corpus_df
+
+    spark = _session(args.master)
+    snaps = sorted(x for x in os.listdir(args.checkpoint) if x.startswith("snap-"))
+    snap = os.path.join(args.checkpoint, snaps[-1])
+    order = spark.read.parquet(os.path.join(snap, "crawl_order"))
+    frontier = spark.read.parquet(os.path.join(snap, "frontier"))
+    if args.corpus:
+        corpus = spark.read.parquet(args.corpus)
+    else:
+        corpus = corpus_df(
+            spark, SynthConfig(n_pages=args.synth_pages, n_hosts=args.synth_hosts,
+                               with_images=False)
+        )
+    fetched = corpus.join(order.select("url"), "url", "left_semi")
+    leaf_links = (
+        fetched.filter(F.col("is_leaf"))
+        .select(F.explode("out_links").alias("l"))
+        .groupBy(F.col("l.xpath").alias("xpath"))
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("xpath"))
+    )
+    paging_xpaths = (
+        frontier.filter(F.col("queue") == "paging")
+        .groupBy("src_xpath")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"))
+    )
+    model = {
+        "leaf_xpath_freqs": [r.asDict() for r in leaf_links.collect()],
+        "pagination_xpaths": [r.asDict() for r in paging_xpaths.collect()],
+    }
+    with open(args.out, "w") as f:
+        json.dump(model, f, indent=2)
+    print(json.dumps({"written": args.out,
+                      "n_leaf_xpaths": len(model["leaf_xpath_freqs"]),
+                      "n_paging_xpaths": len(model["pagination_xpaths"])}))
+    spark.stop()
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "crawl":
+        return cmd_crawl(args)
+    if args.cmd == "learn-model":
+        return cmd_learn_model(args)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

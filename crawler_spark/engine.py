@@ -44,6 +44,7 @@ from . import politeness
 from .extract import count_extracted, extract_candidates
 from .operators.sequence import with_global_seq
 from .schema import (
+    CONTENT_SEEN_SCHEMA,
     CRAWL_ORDER_SCHEMA,
     FRONTIER_SCHEMA,
     LINEAGE_SCHEMA,
@@ -61,12 +62,36 @@ class EngineConfig:
     epoch_ms: int = 30_000
     max_epochs: int = 10
     max_pages: int | None = None
+    # leaf budget (reference --num-leaves, default 300, main.clj:25-28):
+    # stop before an epoch once cumulative fetched leaf pages ≥ limit
+    leaf_limit: int | None = None
     use_bloom: bool = True
     checkpoint_dir: str | None = None
     keep_snapshots: int = 3  # older snapshots pruned (Iceberg expire analog)
+    # snapshot cadence: 1 = every epoch (default, finest resumability);
+    # k>1 commits every k epochs + always on run() exit. Between commits
+    # state lineage is truncated with localCheckpoint instead of disk.
+    commit_every: int = 1
+    # metrics detail: False skips the extra pre-same-host link scan and
+    # reports links_extracted = same-host candidate count instead
+    # (parity tests need True; throughput runs use False)
+    detailed_metrics: bool = True
+    # global-sequence fast path: batches under this row count use a
+    # single-partition window (1 small job) instead of the two-phase
+    # range assignment — at 10^10 scale the two-phase path kicks in
+    seq_fast_path_rows: int = 500_000
+    # content near-dup tracking (reference seen?, crawl.clj:341-349):
+    # count fetched pages whose normalized caption was fetched before;
+    # stop before an epoch once cumulative near-dups ≥ content_dup_stop
+    # (batch analog of the 30-consecutive-dup + corpus-cap rule)
+    track_content_dups: bool = False
+    content_dup_stop: int | None = None
 
 
-_STATE_TABLES = ("frontier", "url_seen", "segments", "crawl_order", "lineage", "metrics")
+_STATE_TABLES = (
+    "frontier", "url_seen", "segments", "crawl_order", "lineage", "metrics",
+    "content_seen",
+)
 
 
 class CrawlEngine:
@@ -95,6 +120,7 @@ class CrawlEngine:
         """Write all state tables + manifest atomically-ish (manifest last,
         written only after every table landed — the commit point)."""
         d = self._snap_dir(epoch)
+        self._last_committed = epoch
         for name in _STATE_TABLES:
             df = self._state[name]
             df.write.mode("overwrite").parquet(os.path.join(d, name))
@@ -109,6 +135,7 @@ class CrawlEngine:
                 "crawl_order": CRAWL_ORDER_SCHEMA,
                 "lineage": LINEAGE_SCHEMA,
                 "metrics": METRICS_SCHEMA,
+                "content_seen": CONTENT_SEEN_SCHEMA,
             }.get(name)
             path = os.path.join(d, name)
             self._state[name] = (
@@ -183,8 +210,22 @@ class CrawlEngine:
             "crawl_order": spark.createDataFrame([], CRAWL_ORDER_SCHEMA),
             "lineage": spark.createDataFrame([], LINEAGE_SCHEMA),
             "metrics": spark.createDataFrame([], METRICS_SCHEMA),
+            "content_seen": spark.createDataFrame([], CONTENT_SEEN_SCHEMA),
         }
-        self._manifest = {"epoch": -1, "next_seq": n_seeds, "dequeue_seq": 0}
+        self._manifest = {
+            "epoch": -1, "next_seq": n_seeds, "dequeue_seq": 0, "leaves_fetched": 0
+        }
+
+    def _assign_seq(self, df, order_cols, seq_col, start, n_rows):
+        """Sequence assignment: single-partition window for batches that
+        fit one task comfortably (the quota-bounded common case), the
+        two-phase range assignment beyond (the 10^10 path)."""
+        if n_rows <= self.cfg.seq_fast_path_rows:
+            w = Window.orderBy(*[F.col(c) for c in order_cols])
+            return df.withColumn(
+                seq_col, (F.row_number().over(w) - 1 + F.lit(start)).cast("long")
+            )
+        return with_global_seq(df, order_cols, seq_col, start)
 
     def run_epoch(self) -> dict:
         """One scheduling epoch; returns this epoch's metrics row."""
@@ -197,28 +238,61 @@ class CrawlEngine:
         frontier = self._state["frontier"]
         allowed, disallowed = politeness.robots_filter(frontier, self.robots)
         n_disallowed = disallowed.count()
-        selected, rest = politeness.dequeue(allowed, self.robots, cfg.epoch_ms)
-        selected = with_global_seq(selected, ["insertion_seq"], "seq", dequeue_seq)
-        selected.persist()
-        n_selected = selected.count()
+        selected_raw, rest = politeness.dequeue(allowed, self.robots, cfg.epoch_ms)
+        selected_raw.persist()
+        n_selected = selected_raw.count()
         if n_selected == 0:
             self._state["frontier"] = rest.select(*[f.name for f in FRONTIER_SCHEMA])
             m = dict(epoch=epoch, urls_scheduled=0, pages_fetched=0, links_extracted=0,
-                     links_enqueued=0, dups_dropped=0, disallowed_dropped=n_disallowed)
+                     links_enqueued=0, dups_dropped=0, disallowed_dropped=n_disallowed,
+                     leaves_fetched=0, neardup_fetched=0)
             self._append_metrics(m)
             self._manifest.update(epoch=epoch)
             self._commit(epoch)
-            selected.unpersist()
+            selected_raw.unpersist()
             return m
+        selected = self._assign_seq(
+            selected_raw, ["insertion_seq"], "seq", dequeue_seq, n_selected
+        )
 
         # fetch: broadcast the quota-bounded batch into the corpus scan —
         # the corpus (10^10-row side) never shuffles
+        fetch_cols = ["seq", "url", "host", "out_links", "is_leaf"]
+        if cfg.track_content_dups:
+            fetch_cols.append("caption")
         fetched = self.corpus.join(
             F.broadcast(selected.select("seq", "url")), "url", "inner"
-        ).select("seq", "url", "host", "out_links")
+        ).select(*fetch_cols)
         fetched.persist()
-        n_fetched = fetched.count()
-        n_links = count_extracted(fetched).count()
+        frow = fetched.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.col("is_leaf").cast("long")), F.lit(0)).alias("lv"),
+        ).first()
+        n_fetched, n_leaves = frow["n"], frow["lv"]
+
+        n_neardup = 0
+        if cfg.track_content_dups:
+            # reference seen?: a fetched page is a near-dup if its
+            # normalized caption was fetched before (earlier epoch OR
+            # earlier in this epoch's dequeue order)
+            from .operators.dedup import md5_hash61, normalize_text
+
+            hashes = fetched.select(
+                "seq", md5_hash61(normalize_text(F.col("caption"))).alias("caption_hash")
+            )
+            w_h = Window.partitionBy("caption_hash").orderBy("seq")
+            firsts = hashes.withColumn("__rn", F.row_number().over(w_h)).filter(
+                F.col("__rn") == 1
+            )
+            fresh_hashes = firsts.join(
+                self._state["content_seen"], "caption_hash", "left_anti"
+            ).select("caption_hash")
+            fresh_hashes.persist()
+            n_fresh = fresh_hashes.count()
+            n_neardup = n_fetched - n_fresh
+            self._state["content_seen"] = self._state["content_seen"].unionByName(
+                fresh_hashes
+            )
 
         cand_all = extract_candidates(fetched, dedup=False).withColumn(
             "url_hash", F.xxhash64("url")
@@ -227,6 +301,9 @@ class CrawlEngine:
         # oracle's dups_dropped counts every non-enqueued same-host
         # occurrence, so count BEFORE within-batch dedup
         n_candidates = cand_all.count()
+        n_links = (
+            count_extracted(fetched).count() if cfg.detailed_metrics else n_candidates
+        )
         w_first = Window.partitionBy("url").orderBy("src_seq", "pos")
         candidates = (
             cand_all.withColumn("__rn", F.row_number().over(w_first))
@@ -234,22 +311,24 @@ class CrawlEngine:
             .drop("__rn")
         )
 
-        survivors = anti_join_seen(
+        survivors_raw = anti_join_seen(
             candidates,
             self._state["url_seen"],
             self._state["segments"] if cfg.use_bloom else None,
             cfg.bloom_m_bits,
         )
-        survivors = with_global_seq(survivors, ["src_seq", "pos"], "insertion_seq", next_seq)
-        survivors.persist()
-        n_new = survivors.count()
+        survivors_raw.persist()
+        n_new = survivors_raw.count()
+        survivors = self._assign_seq(
+            survivors_raw, ["src_seq", "pos"], "insertion_seq", next_seq, n_new
+        )
 
         new_frontier_rows = survivors.select(
             "url", "url_hash", "host",
             "src_url", "src_text", "src_xpath",
             F.lit(epoch + 1).alias("epoch_added"),
             "insertion_seq",
-            F.lit("content").alias("queue"),
+            "queue",
         )
         new_seen = survivors.select("partition_id", "url_hash", "url")
         self._state["url_seen"] = self._state["url_seen"].unionByName(new_seen)
@@ -278,13 +357,24 @@ class CrawlEngine:
             links_enqueued=n_new,
             dups_dropped=n_candidates - n_new,
             disallowed_dropped=n_disallowed,
+            leaves_fetched=n_leaves,
+            neardup_fetched=n_neardup,
         )
         self._append_metrics(m)
         self._manifest.update(
-            epoch=epoch, next_seq=next_seq + n_new, dequeue_seq=dequeue_seq + n_selected
+            epoch=epoch,
+            next_seq=next_seq + n_new,
+            dequeue_seq=dequeue_seq + n_selected,
+            leaves_fetched=self._manifest.get("leaves_fetched", 0) + n_leaves,
+            neardups=self._manifest.get("neardups", 0) + n_neardup,
         )
-        self._commit(epoch)
-        for df in (selected, fetched, cand_all, survivors):
+        if cfg.commit_every <= 1 or (epoch + 1) % cfg.commit_every == 0:
+            self._commit(epoch)
+        else:
+            # truncate lineage without a disk round-trip between commits
+            for name in _STATE_TABLES:
+                self._state[name] = self._state[name].localCheckpoint(eager=True)
+        for df in (selected_raw, fetched, cand_all, survivors_raw):
             df.unpersist()
         return m
 
@@ -307,10 +397,26 @@ class CrawlEngine:
                 and self._manifest["dequeue_seq"] >= self.cfg.max_pages
             ):
                 break
+            if (
+                self.cfg.leaf_limit is not None
+                and self._manifest.get("leaves_fetched", 0) >= self.cfg.leaf_limit
+            ):
+                break
+            if (
+                self.cfg.content_dup_stop is not None
+                and self._manifest.get("neardups", 0) >= self.cfg.content_dup_stop
+            ):
+                break
             pending = self._state["frontier"].count()
             if pending == 0:
                 break
             self.run_epoch()
+        # with commit_every > 1, make sure the final state is durable
+        if (
+            self._manifest["epoch"] >= 0
+            and getattr(self, "_last_committed", None) != self._manifest["epoch"]
+        ):
+            self._commit(self._manifest["epoch"])
         return self._manifest
 
     # ---------------- result accessors ----------------

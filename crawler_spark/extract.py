@@ -53,6 +53,8 @@ def extract_candidates(fetched: DataFrame, dedup: bool = True) -> DataFrame:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+    # digit-anchored links are pagination candidates → paging queue
+    # (corpus.clj:127-131 digit-anchor rule feeding the dual queue)
     return same_host.select(
         "src_seq",
         "pos",
@@ -61,6 +63,9 @@ def extract_candidates(fetched: DataFrame, dedup: bool = True) -> DataFrame:
         F.col("link.xpath").alias("src_xpath"),
         F.col("link_host").alias("host"),
         F.col("canon_url").alias("url"),
+        F.when(F.col("link.text").rlike("^[0-9]+$"), F.lit("paging"))
+        .otherwise(F.lit("content"))
+        .alias("queue"),
     )
 
 

@@ -137,6 +137,33 @@ def lsh_ann_topk(
     )
 
 
+def char_freq_cosine_consec(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """C4 structural similarity: cosine over letter-frequency vectors of
+    row i vs row i+1 (the external structural-similarity dep's
+    char-frequency representation, SURVEY.md §2.9 C4 — observable at
+    corpus.clj:23, crawl.clj:587-589). 26 counting expressions, one
+    self-join on id+1; everything stays in codegen."""
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    t = F.lower(F.col(text_col))
+    counts = [
+        (F.length(t) - F.length(F.replace(t, F.lit(ch), F.lit("")))).cast("double").alias(f"c_{ch}")
+        for ch in letters
+    ]
+    vec = df.select(F.col(id_col).alias("id"), *counts)
+    a = vec.alias("a")
+    b = vec.select(
+        (F.col("id") - 1).alias("id"), *[F.col(f"c_{ch}").alias(f"d_{ch}") for ch in letters]
+    ).alias("b")
+    joined = a.join(b, "id")
+    dot = sum(F.col(f"c_{ch}") * F.col(f"d_{ch}") for ch in letters)
+    na = F.sqrt(sum(F.col(f"c_{ch}") * F.col(f"c_{ch}") for ch in letters))
+    nb = F.sqrt(sum(F.col(f"d_{ch}") * F.col(f"d_{ch}") for ch in letters))
+    return joined.select(
+        "id",
+        F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0)).alias("cosine"),
+    )
+
+
 def ivf_assign(df: DataFrame, vec_col: str, id_col: str, n_cells: int = 16) -> DataFrame:
     """IVF coarse assignment with deterministic pseudo-centroids (same
     integer hyperplane trick, one 'centroid' per cell = unit direction):

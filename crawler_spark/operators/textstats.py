@@ -99,6 +99,43 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def leaf_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """A12 classifier features (leaf_pages.clj:141-228, columnized):
+    per-document numeric aggregates + the rule-based leaf prediction
+    standing in for the SVM/WEKA classifiers (C8/C9; the graft replaces
+    trained models with a deterministic rule per SURVEY.md §2.9)."""
+    text = F.col(text_col)
+    toks = F.filter(F.split(normalize_text(text), " "), lambda t: t != "")
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[.!?,;:]", ""))
+    n_digits = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    n_sentences = F.size(F.filter(F.split(text, r"[.!?]"), lambda s: F.trim(s) != ""))
+    sum_tok_len = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    mean_tok_len = F.when(n_tokens > 0, sum_tok_len / n_tokens).otherwise(F.lit(0.0))
+    max_tok_len = F.array_max(F.transform(toks, lambda t: F.length(t)))
+    stop_arr = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    stop_ratio = F.when(
+        n_tokens > 0,
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n_tokens,
+    ).otherwise(F.lit(0.0))
+    is_leaf_pred = (n_tokens >= 30) & (
+        F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)) < 0.1
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        n_punct.alias("n_punct"),
+        n_digits.alias("n_digits"),
+        n_sentences.alias("n_sentences"),
+        F.round(mean_tok_len, 4).alias("mean_tok_len"),
+        F.coalesce(max_tok_len, F.lit(0)).alias("max_tok_len"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        is_leaf_pred.alias("is_leaf_pred"),
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFrame:
     """Bottom-k sketch fingerprint: the k smallest 4-gram shingle hashes,
     packed to a string (winnowing-style document fingerprint; same

@@ -26,7 +26,12 @@ Semantics contract (both sides implement THIS, deterministically):
   with a smaller (dequeue_seq, link_position) — is dropped.
 * Survivors get ``insertion_seq`` values continuing the global counter,
   in (parent dequeue order, link position) order, and enter URL-seen
-  immediately.
+  immediately. Digit-anchored links (``^[0-9]+$`` anchor text,
+  corpus.clj:127-131) enter the ``paging`` queue; all others ``content``.
+* Dual queue (crawl.clj:262-263, 433-456): a host dequeues ``paging``
+  rows only in epochs where it has no pending ``content`` rows.
+* Leaf budget (--num-leaves, main.clj:25-28): stop before an epoch once
+  cumulative fetched pages with ``is_leaf`` ≥ leaf_limit.
 """
 
 from __future__ import annotations
@@ -54,35 +59,65 @@ def crawl_oracle(
     max_epochs: int = 10,
     epoch_ms: int = 30_000,
     max_pages: int | None = None,
+    leaf_limit: int | None = None,
+    track_content_dups: bool = False,
+    content_dup_stop: int | None = None,
 ) -> OracleResult:
+    import re
+
+    def norm_caption(s: str) -> str:
+        # mirror of operators.dedup.normalize_text
+        s = s.lower()
+        s = re.sub(r"[^\w\s]", " ", s)
+        return re.sub(r"\s+", " ", s).strip()
+
     corpus = gen_all(cfg)
     by_url = {r["url"]: r for r in corpus.to_dict("records")}
     delay = {r["host"]: r["crawl_delay_ms"] for r in robots}
     disallow = {r["host"]: r["disallow_prefixes"] for r in robots}
 
     res = OracleResult()
-    frontier: list = []  # pending entries: dict(url, host, insertion_seq)
+    frontier: list = []  # pending: dict(url, host, insertion_seq, queue)
     next_seq = 0
     for u in seeds:
         cu = canonicalize(u, u)
         if cu is None or cu in res.url_seen:
             continue
         res.url_seen.add(cu)
-        frontier.append({"url": cu, "host": host_of(cu), "insertion_seq": next_seq})
+        frontier.append(
+            {"url": cu, "host": host_of(cu), "insertion_seq": next_seq, "queue": "content"}
+        )
         next_seq += 1
 
     dequeue_seq = 0
+    leaves_total = 0
+    neardups_total = 0
+    content_seen: set = set()
     for epoch in range(max_epochs):
         if not frontier or (max_pages is not None and dequeue_seq >= max_pages):
             break
-        # politeness: per-host quota, smallest insertion_seq first
-        budget_left: dict = {}
-        selected, remaining, disallowed = [], [], 0
-        for entry in sorted(frontier, key=lambda x: x["insertion_seq"]):
+        if leaf_limit is not None and leaves_total >= leaf_limit:
+            break
+        if content_dup_stop is not None and neardups_total >= content_dup_stop:
+            break
+        # robots filter first (engine order: robots_filter → dequeue)
+        def is_disallowed(entry):
             h = entry["host"]
             path = entry["url"].split(h, 1)[1]
-            if any(path.startswith(p) for p in disallow.get(h, [])):
-                disallowed += 1
+            return any(path.startswith(p) for p in disallow.get(h, []))
+
+        allowed = [e for e in frontier if not is_disallowed(e)]
+        disallowed = len(frontier) - len(allowed)
+        # dual queue: hosts with pending (allowed) content rows may not
+        # spend quota on paging rows this epoch
+        hosts_with_content = {e["host"] for e in allowed if e["queue"] == "content"}
+        # politeness: per-host quota, smallest insertion_seq first
+        budget_left: dict = {}
+        selected, remaining = [], []
+        for entry in sorted(allowed, key=lambda x: x["insertion_seq"]):
+            h = entry["host"]
+            if entry["queue"] == "paging" and h in hosts_with_content:
+                remaining.append(entry)
                 continue
             q = budget_left.setdefault(h, max(1, epoch_ms // delay.get(h, 1000)))
             if q > 0:
@@ -94,14 +129,15 @@ def crawl_oracle(
         if not selected:
             res.metrics.append(
                 dict(epoch=epoch, urls_scheduled=0, pages_fetched=0, links_extracted=0,
-                     links_enqueued=0, dups_dropped=0, disallowed_dropped=disallowed)
+                     links_enqueued=0, dups_dropped=0, disallowed_dropped=disallowed,
+                     leaves_fetched=0)
             )
             res.epochs_run = epoch + 1
             if not frontier:
                 break
             continue
 
-        fetched_ct = links_ct = enq_ct = dups_ct = 0
+        fetched_ct = links_ct = enq_ct = dups_ct = leaves_ct = neardup_ct = 0
         new_entries = []
         for entry in selected:  # already in ascending insertion_seq order
             res.crawl_order.append((dequeue_seq, entry["url"], epoch, entry["host"]))
@@ -110,6 +146,14 @@ def crawl_oracle(
             if page is None:
                 continue
             fetched_ct += 1
+            if page["is_leaf"]:
+                leaves_ct += 1
+            if track_content_dups:
+                ch = norm_caption(page["caption"])
+                if ch in content_seen:
+                    neardup_ct += 1
+                else:
+                    content_seen.add(ch)
             res.fetched.append(page)
             for link in page["out_links"]:
                 if link["nofollow"]:
@@ -124,14 +168,21 @@ def crawl_oracle(
                     dups_ct += 1
                     continue
                 res.url_seen.add(cu)
-                new_entries.append({"url": cu, "host": host_of(cu), "insertion_seq": next_seq})
+                queue = "paging" if re.match("^[0-9]+$", link["text"] or "") else "content"
+                new_entries.append(
+                    {"url": cu, "host": host_of(cu), "insertion_seq": next_seq,
+                     "queue": queue}
+                )
                 next_seq += 1
                 enq_ct += 1
         frontier.extend(new_entries)
+        leaves_total += leaves_ct
+        neardups_total += neardup_ct
         res.metrics.append(
             dict(epoch=epoch, urls_scheduled=len(selected), pages_fetched=fetched_ct,
                  links_extracted=links_ct, links_enqueued=enq_ct, dups_dropped=dups_ct,
-                 disallowed_dropped=disallowed)
+                 disallowed_dropped=disallowed, leaves_fetched=leaves_ct,
+                 neardup_fetched=neardup_ct)
         )
         res.epochs_run = epoch + 1
     return res

@@ -38,8 +38,9 @@ def read_schema_columns(df: DataFrame) -> list:
 
 def wholestage_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans in the plan (wider = fewer
-    pipeline breaks)."""
-    return len(re.findall(r"WholeStageCodegen", explain_str(df)))
+    pipeline breaks). Simple mode marks codegen stages as ``*(n)``."""
+    plan = explain_str(df, "simple")
+    return len(set(re.findall(r"\*\((\d+)\)", plan)))
 
 
 def assert_no_cartesian(df: DataFrame) -> None:

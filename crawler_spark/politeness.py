@@ -46,14 +46,27 @@ def robots_filter(frontier: DataFrame, robots: DataFrame) -> tuple:
 def dequeue(allowed: DataFrame, robots: DataFrame, epoch_ms: int) -> tuple:
     """(selected, rest): per-host quota window over the allowed pending
     rows. ``selected`` keeps frontier columns; global dequeue order is
-    ascending insertion_seq (assigned upstream, unique)."""
+    ascending insertion_seq (assigned upstream, unique).
+
+    Dual-queue semantics (reference crawl-model automaton,
+    ``crawl.clj:262-263, 433-456``): content rows always outrank paging
+    rows — a host spends quota on its ``paging`` queue only in epochs
+    where it has NO pending content rows (the batch analog of "promote a
+    paging entry when the content queue drains")."""
+    content = allowed.filter(F.col("queue") == "content")
+    paging = allowed.filter(F.col("queue") == "paging")
+    hosts_with_content = content.select("host").distinct()
+    paging_blocked = paging.join(hosts_with_content, "host", "left_semi")
+    paging_eligible = paging.join(hosts_with_content, "host", "left_anti")
+    pool = content.unionByName(paging_eligible)
+
     quota = F.greatest(
         F.lit(1),
         F.floor(F.lit(epoch_ms) / F.coalesce(F.col("crawl_delay_ms"), F.lit(1000))),
     )
     w = Window.partitionBy("host").orderBy("insertion_seq")
     ranked = (
-        allowed.join(F.broadcast(robots.select("host", "crawl_delay_ms")), "host", "left")
+        pool.join(F.broadcast(robots.select("host", "crawl_delay_ms")), "host", "left")
         .withColumn("__rn", F.row_number().over(w))
         .withColumn("__quota", quota)
     )
@@ -62,5 +75,5 @@ def dequeue(allowed: DataFrame, robots: DataFrame, epoch_ms: int) -> tuple:
     )
     rest = ranked.filter(F.col("__rn") > F.col("__quota")).drop(
         "__rn", "__quota", "crawl_delay_ms"
-    )
+    ).unionByName(paging_blocked)
     return selected, rest

