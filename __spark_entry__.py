@@ -591,6 +591,62 @@ def q_seeded_sample(spark, sf_dir):
     )
 
 
+def q_training_data_pipeline(spark, sf_dir):
+    """Flagship training-data pipeline: language filter → quality gate →
+    exact-dup drop → near-dup drop (keep smallest id of each jaccard
+    cluster edge) → kept document ids. The composite a 100 TB corpus
+    pipeline actually runs, end-to-end in one declarative plan."""
+    from crawler_spark.operators.dedup import (
+        exact_dedup,
+        md5_hash61,
+        ngram_jaccard_pairs,
+        normalize_text,
+    )
+    from crawler_spark.operators.textstats import quality_score
+
+    d = _read(spark, sf_dir, "documents")
+    en = d.filter(F.col("lang") == "en")
+    q = quality_score(en, "text", "doc_id").filter(F.col("quality") >= 0.3).select(
+        F.col("id").alias("doc_id")
+    )
+    kept = en.join(q, "doc_id", "left_semi")
+    exact = exact_dedup(kept, "text", "doc_id").filter(F.col("id") == F.col("dup_of")).select(
+        F.col("id").alias("doc_id")
+    )
+    kept = kept.join(exact, "doc_id", "left_semi")
+    near = ngram_jaccard_pairs(kept, "text", "doc_id", threshold=0.8).select(
+        F.col("id_b").alias("doc_id")
+    ).distinct()
+    survivors = kept.join(near, "doc_id", "left_anti")
+    return survivors.select("doc_id", "source")
+
+
+def q_pagination_detect(spark, sf_dir):
+    """Full pagination detection: digit-anchor pick + structural
+    similarity of source and target page signatures (J6)."""
+    from crawler_spark.operators.xpath_model import detect_pagination
+
+    l = (
+        _links_df(spark, sf_dir)
+        .filter(~F.col("is_js") & (F.col("doc_id") < 300))
+        .select(
+            F.col("doc_id").cast("string").alias("page_url"),
+            "xpath",
+            F.col("tgt").cast("string").alias("href"),
+            "text",
+            F.col("j").alias("pos"),
+        )
+    )
+    out = detect_pagination(l, min_cosine=0.5)
+    return out.select(
+        F.col("page_url").cast("long").alias("doc_id"),
+        "xpath",
+        F.col("next_href").cast("long").alias("next_doc"),
+        "page_no",
+        "cosine",
+    )
+
+
 # ---- rows-only queries (no exact SQL restatement) ----
 
 
@@ -700,6 +756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leaf_features": q_leaf_features,
         "plan_ordering": q_plan_ordering,
         "seeded_sample": q_seeded_sample,
+        "training_data_pipeline": q_training_data_pipeline,
+        "pagination_detect": q_pagination_detect,
         # engine / multimodal (rows-only)
         "crawl_epoch": q_crawl_epoch,
         "image_decode_stats": q_image_decode_stats,
@@ -990,6 +1048,74 @@ def oracle_sql() -> dict[str, str]:
         FROM sizes s
         JOIN sizes sn ON sn.doc_id = s.doc_id + 1
         LEFT JOIN inter i ON i.doc_id = s.doc_id
+    """
+    sqls["training_data_pipeline"] = f"""
+        WITH en AS (SELECT * FROM documents WHERE lang = 'en'),
+        norm AS (SELECT doc_id, text, source, {_NORM} AS t FROM en),
+        toks AS (SELECT doc_id, text, source,
+                        list_filter(string_split(t, ' '), x -> x <> '') AS ts
+                 FROM norm),
+        stats AS (
+            SELECT doc_id, text, source,
+                   CAST(len(ts) AS INTEGER) AS n_tokens,
+                   length(text) AS n_chars,
+                   length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
+                   len(list_filter(ts, x -> x IN ('the','and','of','to','in','is','that','with'))) AS n_stop
+            FROM toks),
+        qual AS (
+            SELECT doc_id, text, source FROM stats
+            WHERE least(n_tokens / 100.0, 1.0) * 0.4
+                  + least((CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0 END) * 4.0, 1.0) * 0.4
+                  + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0 END) * 10.0, 1.0)) * 0.2
+                  >= 0.3),
+        hashed AS (SELECT doc_id, text, source,
+                          {_H61.format(x=_NORM)} AS th
+                   FROM qual),
+        exact_keep AS (
+            SELECT doc_id, text, source FROM (
+                SELECT doc_id, text, source,
+                       MIN(doc_id) OVER (PARTITION BY th) AS keeper
+                FROM hashed)
+            WHERE doc_id = keeper),
+        norm2 AS (SELECT doc_id, {_NORM} AS t FROM exact_keep),
+        toks2 AS (SELECT doc_id, string_split(t, ' ') AS ts FROM norm2),
+        sh AS (SELECT DISTINCT doc_id,
+                      ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
+               FROM toks2 JOIN generate_series(0, 2000) g(i) ON i <= len(ts) - 4),
+        hs AS (SELECT DISTINCT doc_id, {_H61.format(x='s')} AS h FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hs GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS m
+                  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        near_b AS (
+            SELECT DISTINCT id_b AS doc_id
+            FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                       JOIN sizes sb ON sb.doc_id = id_b
+            WHERE m / CAST(sa.sz + sb.sz - m AS DOUBLE) >= 0.8)
+        SELECT e.doc_id, e.source FROM exact_keep e
+        WHERE NOT EXISTS (SELECT 1 FROM near_b n WHERE n.doc_id = e.doc_id)
+    """
+    sqls["pagination_detect"] = f"""
+        WITH {_LINKS_CTE.strip().lstrip('WITH').strip()},
+        l AS (SELECT doc_id, xpath, tgt, text, j FROM links
+              WHERE NOT is_js AND doc_id < 300),
+        digits AS (SELECT * FROM l WHERE regexp_matches(text, '^[0-9]+$')),
+        cand AS (SELECT doc_id, xpath, tgt AS next_doc, CAST(text AS BIGINT) AS page_no
+                 FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, xpath
+                                ORDER BY CAST(text AS BIGINT), j) AS rn
+                       FROM digits)
+                 WHERE rn = 1),
+        sig AS (SELECT doc_id, xpath, COUNT(*) AS n FROM l GROUP BY 1, 2),
+        dots AS (SELECT a.doc_id AS pa, b.doc_id AS pb, SUM(a.n * b.n) AS dot
+                 FROM sig a JOIN sig b ON a.xpath = b.xpath
+                 GROUP BY 1, 2),
+        norms AS (SELECT doc_id, sqrt(SUM(n * n)) AS nrm FROM sig GROUP BY 1),
+        sim AS (SELECT d.pa, d.pb, d.dot / (na.nrm * nb.nrm) AS cosine
+                FROM dots d JOIN norms na ON na.doc_id = d.pa
+                            JOIN norms nb ON nb.doc_id = d.pb)
+        SELECT c.doc_id, c.xpath, c.next_doc, c.page_no, round(s.cosine, 4) AS cosine
+        FROM cand c JOIN sim s ON s.pa = c.doc_id AND s.pb = c.next_doc
+        WHERE s.cosine >= 0.5
     """
     # ---- crawl graph ----
     sqls["link_extract"] = f"""

@@ -30,7 +30,7 @@ def time_df(fn, *args):
     return time.time() - t0, n
 
 
-def crawl_engine_bench(spark, n_pages=50_000, epochs=4):
+def crawl_engine_bench(spark, n_pages=50_000, epochs=6):
     """Engine-loop throughput: big quotas (10-min epochs) so batches are
     thousands of URLs; corpus pre-materialized so generation cost is not
     billed to the engine; throughput-profile config (commit every 2
@@ -51,11 +51,19 @@ def crawl_engine_bench(spark, n_pages=50_000, epochs=4):
     eng = CrawlEngine(
         spark, corpus, robots,
         EngineConfig(max_epochs=epochs, epoch_ms=600_000, checkpoint_dir=ck,
-                     commit_every=2, detailed_metrics=False,
+                     commit_every=3, detailed_metrics=False,
                      n_seen_buckets=64),
     )
-    # seed every host with its first few pages for wide epoch-1 batches
-    seeds = seed_urls(cfg, 50)
+    # seed every host with its first 4 pages for wide epoch-1 batches
+    from crawler_spark.synth import url_of_index
+
+    bounds = cfg.host_bounds
+    seeds = [
+        url_of_index(cfg, int(bounds[h]) + k)
+        for h in range(cfg.n_hosts)
+        for k in range(4)
+        if bounds[h] + k < bounds[h + 1]
+    ]
     t0 = time.time()
     eng.run(seeds)
     dt = time.time() - t0
@@ -108,6 +116,82 @@ def frontier_batch_bench(spark, n_pages=200_000):
     fresh = cand.join(seen, "url", "left_anti")
     t0 = time.time()
     n = fresh.count()
+    return time.time() - t0, n
+
+
+def scaling_workload(spark, n_pages=2_000_000, links_per_page=8, n_hosts=500):
+    """Compute-dominated frontier batch for scaling-efficiency runs:
+    the synthetic web is derived entirely JVM-side (spark.range + column
+    expressions — embarrassingly parallel, no Python, no I/O), then the
+    full pipeline runs: politeness window → explode ~n*8 links →
+    codegen canonicalization → same-host filter → within-batch dedup →
+    URL-seen anti-join. At 2M pages / 16M links the per-core regex work
+    dwarfs fixed job costs, which is what makes N→4N scaling measurable
+    on a short local run (a real cluster job is hours long and has no
+    such problem)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from crawler_spark.canon import canonicalize_expr, host_of_expr
+
+    pages = spark.range(
+        0, n_pages, 1, spark.sparkContext.defaultParallelism * 3
+    ).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(n_hosts)).alias("host_id"),
+    )
+    pages = pages.withColumn(
+        "url",
+        F.concat(F.lit("http://host"), F.col("host_id"), F.lit(".test/p/"), F.col("id")),
+    )
+    link = lambda j: F.struct(
+        F.concat(
+            F.lit("http://host"),
+            F.pmod(F.xxhash64("id", j), F.lit(n_hosts)),
+            F.lit(".test/p/"),
+            F.pmod(F.xxhash64("id", j + 100), F.lit(n_pages)),
+            F.when(F.pmod(F.xxhash64("id", j + 200), F.lit(7)) == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("href"),
+        F.pmod(F.xxhash64("id", j + 300), F.lit(11)).eqNullSafe(0).alias("nofollow"),
+    )
+    # politeness window shuffles SLIM rows (id, host_id, url) — the link
+    # array is generated after selection, so shuffle bytes stay small
+    # relative to the per-row compute (the shape that scales: at 10^10
+    # the frontier shuffle carries keys, never payloads)
+    w = Window.partitionBy("host_id").orderBy("id")
+    selected = pages.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= n_pages // n_hosts
+    )
+    selected = selected.withColumn(
+        "out_links", F.array(*[link(F.lit(j)) for j in range(links_per_page)])
+    )
+    links = selected.select(
+        F.col("id").alias("src_seq"),
+        F.col("url").alias("src_url"),
+        F.col("host_id").alias("src_host"),
+        F.posexplode("out_links").alias("pos", "link"),
+    ).filter(~F.col("link.nofollow"))
+    links = links.withColumn(
+        "canon", canonicalize_expr(F.col("link.href"), F.col("src_url"))
+    ).filter(F.col("canon").isNotNull())
+    links = links.withColumn("link_host", host_of_expr(F.col("canon"))).filter(
+        F.col("link_host") == F.concat(F.lit("host"), F.col("src_host"), F.lit(".test"))
+    )
+    # dedup window carries only (canon, src_seq, pos)
+    slim = links.select("canon", "src_seq", "pos")
+    wd = Window.partitionBy("canon").orderBy("src_seq", "pos")
+    fresh = slim.withColumn("rn2", F.row_number().over(wd)).filter(F.col("rn2") == 1)
+    seen = spark.range(0, n_pages, 3).select(
+        F.concat(
+            F.lit("http://host"),
+            F.pmod(F.xxhash64("id"), F.lit(n_hosts)),
+            F.lit(".test/p/"),
+            F.col("id"),
+        ).alias("canon")
+    )
+    out = fresh.join(seen, "canon", "left_anti")
+    t0 = time.time()
+    n = out.count()
     return time.time() - t0, n
 
 

@@ -51,9 +51,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _session(master):
+    """(spark, owned): owned=False when an active session already exists
+    (e.g. embedded in a larger app/test harness) — then getOrCreate
+    returns it and the CLI must NOT stop it on exit."""
+    from pyspark.sql import SparkSession
+
     from crawler_spark.session import get_spark
 
-    return get_spark("crawler-spark-cli", master=master)
+    existing = SparkSession.getActiveSession()
+    return get_spark("crawler-spark-cli", master=master), existing is None
 
 
 def cmd_crawl(args) -> int:
@@ -62,7 +68,7 @@ def cmd_crawl(args) -> int:
     from crawler_spark.sources import read_seed_list
     from crawler_spark.synth import SynthConfig, corpus_df, robots_rows
 
-    spark = _session(args.master)
+    spark, owned = _session(args.master)
     if args.corpus:
         corpus = spark.read.parquet(args.corpus)
     else:
@@ -97,7 +103,8 @@ def cmd_crawl(args) -> int:
         "metrics": [r.asDict() for r in eng.metrics.collect()],
     }
     print(json.dumps(summary, default=str))
-    spark.stop()
+    if owned:
+        spark.stop()
     return 0
 
 
@@ -111,7 +118,7 @@ def cmd_learn_model(args) -> int:
 
     from crawler_spark.synth import SynthConfig, corpus_df
 
-    spark = _session(args.master)
+    spark, owned = _session(args.master)
     snaps = sorted(x for x in os.listdir(args.checkpoint) if x.startswith("snap-"))
     snap = os.path.join(args.checkpoint, snaps[-1])
     order = spark.read.parquet(os.path.join(snap, "crawl_order"))
@@ -146,7 +153,8 @@ def cmd_learn_model(args) -> int:
     print(json.dumps({"written": args.out,
                       "n_leaf_xpaths": len(model["leaf_xpath_freqs"]),
                       "n_paging_xpaths": len(model["pagination_xpaths"])}))
-    spark.stop()
+    if owned:
+        spark.stop()
     return 0
 
 

@@ -110,6 +110,7 @@ class CrawlEngine:
         os.makedirs(self.ckpt, exist_ok=True)
         self._state: dict = {}
         self._manifest: dict = {}
+        self._pending_unpersist: list = []
 
     # ---------------- snapshot plumbing ----------------
 
@@ -147,6 +148,10 @@ class CrawlEngine:
         snaps = sorted(x for x in os.listdir(self.ckpt) if x.startswith("snap-"))
         for old in snaps[: -self.cfg.keep_snapshots]:
             shutil.rmtree(os.path.join(self.ckpt, old), ignore_errors=True)
+        # state is durable on disk now — safe to drop cached inputs
+        for df in self._pending_unpersist:
+            df.unpersist()
+        self._pending_unpersist.clear()
 
     def latest_snapshot(self) -> int | None:
         snaps = sorted(x for x in os.listdir(self.ckpt) if x.startswith("snap-"))
@@ -213,7 +218,8 @@ class CrawlEngine:
             "content_seen": spark.createDataFrame([], CONTENT_SEEN_SCHEMA),
         }
         self._manifest = {
-            "epoch": -1, "next_seq": n_seeds, "dequeue_seq": 0, "leaves_fetched": 0
+            "epoch": -1, "next_seq": n_seeds, "dequeue_seq": 0, "leaves_fetched": 0,
+            "pending": n_seeds,
         }
 
     def _assign_seq(self, df, order_cols, seq_col, start, n_rows):
@@ -236,8 +242,15 @@ class CrawlEngine:
         dequeue_seq = self._manifest["dequeue_seq"]
 
         frontier = self._state["frontier"]
-        allowed, disallowed = politeness.robots_filter(frontier, self.robots)
-        n_disallowed = disallowed.count()
+        flagged = politeness.with_disallowed_flag(frontier, self.robots).persist()
+        # one aggregate for pending + disallowed (keeps per-epoch job
+        # count low — local job latency dominates small epochs)
+        prow = flagged.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.col("__disallowed").cast("long")), F.lit(0)).alias("d"),
+        ).first()
+        n_pending, n_disallowed = prow["n"], prow["d"]
+        allowed = flagged.filter(~F.col("__disallowed")).drop("__disallowed")
         selected_raw, rest = politeness.dequeue(allowed, self.robots, cfg.epoch_ms)
         selected_raw.persist()
         n_selected = selected_raw.count()
@@ -247,9 +260,9 @@ class CrawlEngine:
                      links_enqueued=0, dups_dropped=0, disallowed_dropped=n_disallowed,
                      leaves_fetched=0, neardup_fetched=0)
             self._append_metrics(m)
-            self._manifest.update(epoch=epoch)
+            self._manifest.update(epoch=epoch, pending=n_pending - n_disallowed)
+            self._pending_unpersist.extend([flagged, selected_raw])
             self._commit(epoch)
-            selected_raw.unpersist()
             return m
         selected = self._assign_seq(
             selected_raw, ["insertion_seq"], "seq", dequeue_seq, n_selected
@@ -367,15 +380,22 @@ class CrawlEngine:
             dequeue_seq=dequeue_seq + n_selected,
             leaves_fetched=self._manifest.get("leaves_fetched", 0) + n_leaves,
             neardups=self._manifest.get("neardups", 0) + n_neardup,
+            pending=n_pending - n_disallowed - n_selected + n_new,
         )
+        # persisted inputs stay cached until the next commit so deferred
+        # state evaluation between commits never recomputes them
+        self._pending_unpersist.extend([flagged, selected_raw, fetched, cand_all,
+                                        survivors_raw])
         if cfg.commit_every <= 1 or (epoch + 1) % cfg.commit_every == 0:
             self._commit(epoch)
         else:
-            # truncate lineage without a disk round-trip between commits
-            for name in _STATE_TABLES:
+            # materialize the tables the NEXT epoch reads — without this
+            # every downstream action re-runs this epoch's joins/windows/
+            # bloom cogroups (measured 10× epoch-loop slowdown). The
+            # append-only tables (crawl_order/lineage/metrics) are only
+            # read at commit time and stay lazy.
+            for name in ("frontier", "url_seen", "segments", "content_seen"):
                 self._state[name] = self._state[name].localCheckpoint(eager=True)
-        for df in (selected_raw, fetched, cand_all, survivors_raw):
-            df.unpersist()
         return m
 
     def _append_metrics(self, m: dict) -> None:
@@ -407,7 +427,9 @@ class CrawlEngine:
                 and self._manifest.get("neardups", 0) >= self.cfg.content_dup_stop
             ):
                 break
-            pending = self._state["frontier"].count()
+            pending = self._manifest.get("pending")
+            if pending is None:  # resumed from a pre-"pending" manifest
+                pending = self._state["frontier"].count()
             if pending == 0:
                 break
             self.run_epoch()

@@ -181,6 +181,69 @@ def signature_cosine(sig_a: DataFrame, sig_b: DataFrame) -> DataFrame:
     )
 
 
+def detect_pagination(links: DataFrame, min_cosine: float = 0.6) -> DataFrame:
+    """Full pagination detection (corpus.clj:123-217): a (page, xpath)
+    pair is a pagination control iff it has a digit-anchored candidate
+    (the smallest-numeric pick) AND the link target's page signature is
+    structurally similar to the source page (J6 candidate join +
+    signature cosine ≥ threshold). Target pages are resolved by href
+    within the same link table."""
+    cand = pagination_candidates(links)
+    sig = page_signature(links)
+    sim = signature_cosine(sig, sig)
+    return (
+        cand.join(
+            sim,
+            (cand.page_url == sim.pa) & (cand.next_href == sim.pb),
+            "inner",
+        )
+        .filter(F.col("cosine") >= min_cosine)
+        .select("page_url", "xpath", "next_href", "page_no",
+                F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def refine_xpaths(labeled_links: DataFrame) -> DataFrame:
+    """Refinement learning (:only/:avoid, dom.clj:942-1061): given links
+    labeled good (muscle — lead to leaves) vs bad (fat), per xpath find
+    href path tokens that appear ONLY in good links (→ :only) or ONLY in
+    bad links (→ :avoid). labeled_links: (xpath, href, good boolean).
+
+    The reference walks DOM node-name positions; the columnar analog
+    discriminates on URL path segments — same shape: a broadcastable
+    per-xpath filter table applied before enqueue."""
+    toks = labeled_links.select(
+        "xpath",
+        "good",
+        F.explode(F.split(F.regexp_replace("href", "^[a-zA-Z]+://[^/]*/", ""), "/")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per = toks.groupBy("xpath", "tok").agg(
+        F.max(F.col("good").cast("int")).alias("in_good"),
+        F.max((~F.col("good")).cast("int")).alias("in_bad"),
+    )
+    return per.groupBy("xpath").agg(
+        F.sort_array(
+            F.collect_set(F.when((F.col("in_good") == 1) & (F.col("in_bad") == 0), F.col("tok")))
+        ).alias("only"),
+        F.sort_array(
+            F.collect_set(F.when((F.col("in_bad") == 1) & (F.col("in_good") == 0), F.col("tok")))
+        ).alias("avoid"),
+    )
+
+
+def apply_refinement(links: DataFrame, refinement: DataFrame) -> DataFrame:
+    """Apply a learned :avoid refinement: drop links whose href contains
+    an avoided token for their xpath (dom.clj:520-643 eval-refined)."""
+    r = refinement.select("xpath", "avoid")
+    joined = links.join(F.broadcast(r), "xpath", "left")
+    path_toks = F.split(F.regexp_replace("href", "^[a-zA-Z]+://[^/]*/", ""), "/")
+    hit = F.exists(
+        F.coalesce(F.col("avoid"), F.array()),
+        lambda a: F.array_contains(path_toks, a),
+    )
+    return joined.filter(~hit).drop("avoid")
+
+
 def yield_estimate(links: DataFrame, leaf_paths: DataFrame) -> DataFrame:
     """A9 analog: per xpath step, max per-page link yield; the driver
     multiplies the ≤5 steps of an action sequence (corpus.clj:324-407 —

@@ -27,9 +27,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def robots_filter(frontier: DataFrame, robots: DataFrame) -> tuple:
-    """Split pending frontier rows into (allowed, disallowed) under the
-    broadcast robots table's disallow prefixes."""
+def with_disallowed_flag(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """Pending frontier rows + ``__disallowed`` flag from the broadcast
+    robots table's disallow prefixes (one pass; callers split/count with
+    a single aggregate instead of two filter jobs)."""
     path = F.regexp_replace(F.col("url"), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
     joined = frontier.withColumn("__path", path).join(
         F.broadcast(robots.select("host", "disallow_prefixes")), "host", "left"
@@ -38,9 +39,18 @@ def robots_filter(frontier: DataFrame, robots: DataFrame) -> tuple:
         F.coalesce(F.col("disallow_prefixes"), F.array()),
         lambda p: F.col("__path").startswith(p),
     )
-    allowed = joined.filter(~is_disallowed).drop("__path", "disallow_prefixes")
-    disallowed = joined.filter(is_disallowed).drop("__path", "disallow_prefixes")
-    return allowed, disallowed
+    return joined.withColumn("__disallowed", is_disallowed).drop(
+        "__path", "disallow_prefixes"
+    )
+
+
+def robots_filter(frontier: DataFrame, robots: DataFrame) -> tuple:
+    """Split pending frontier rows into (allowed, disallowed)."""
+    flagged = with_disallowed_flag(frontier, robots)
+    return (
+        flagged.filter(~F.col("__disallowed")).drop("__disallowed"),
+        flagged.filter(F.col("__disallowed")).drop("__disallowed"),
+    )
 
 
 def dequeue(allowed: DataFrame, robots: DataFrame, epoch_ms: int) -> tuple:

@@ -21,7 +21,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import frontier_batch_bench  # noqa: E402
+from bench import scaling_workload  # noqa: E402
+
+# N=4, 4N=16: both stay on dedicated physical cores (32-core box, no
+# SMT); beyond ~16 active cores the shared host throttles frequency,
+# which would measure the hypervisor, not the engine. A real cluster's
+# 4N executors bring 4N× memory bandwidth and disks; one box does not.
+N_CORES = 4
+N4_CORES = 16
+TRIALS = 3
 
 
 def run_at(cores: int, n_pages: int):
@@ -31,28 +39,37 @@ def run_at(cores: int, n_pages: int):
         f"scaling-{cores}", master=f"local[{cores}]", shuffle_partitions=cores * 2
     )
     # warm-up: JVM + codegen so the measured run isn't startup-bound
-    frontier_batch_bench(spark, n_pages=max(2000, n_pages // 50))
-    dt, rows = frontier_batch_bench(spark, n_pages=n_pages)
+    scaling_workload(spark, n_pages=max(20_000, n_pages // 50))
+    dt, rows = scaling_workload(spark, n_pages=n_pages)
     spark.stop()
     time.sleep(3)
     return dt, rows
 
 
 def main():
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    results = {}
-    for cores in (8, 32):
-        dt, rows = run_at(cores, n_pages)
-        results[cores] = {"sec": round(dt, 2), "rows": rows,
-                          "rows_per_sec": round(rows / dt, 1)}
-        print(f"local[{cores}]: {dt:.2f}s, {rows} rows, {rows/dt:.0f} rows/s")
-    speedup = results[8]["sec"] / results[32]["sec"]
-    eff = speedup / 4.0
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    # alternate trials to decorrelate co-tenant noise; keep best per level
+    times = {N_CORES: [], N4_CORES: []}
+    rows_seen = None
+    for t in range(TRIALS):
+        for cores in (N_CORES, N4_CORES):
+            dt, rows = run_at(cores, n_pages)
+            times[cores].append(dt)
+            rows_seen = rows
+            print(f"trial {t} local[{cores}]: {dt:.2f}s", flush=True)
+    best_n, best_4n = min(times[N_CORES]), min(times[N4_CORES])
+    results = {
+        c: {"sec_best": round(min(ts), 2), "sec_all": [round(x, 2) for x in ts],
+            "rows": rows_seen, "rows_per_sec": round(rows_seen / min(ts), 1)}
+        for c, ts in times.items()
+    }
+    speedup = best_n / best_4n
+    eff = speedup / (N4_CORES / N_CORES)
     out = {
-        "workload": f"frontier_batch n_pages={n_pages}",
-        "local8": results[8],
-        "local32": results[32],
-        "speedup_8_to_32": round(speedup, 3),
+        "workload": f"scaling_workload(jvm-synth frontier batch) n_pages={n_pages}",
+        f"local{N_CORES}": results[N_CORES],
+        f"local{N4_CORES}": results[N4_CORES],
+        "speedup_N_to_4N": round(speedup, 3),
         "scaling_efficiency_Nto4N": round(eff, 3),
     }
     print(json.dumps(out))
