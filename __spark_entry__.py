@@ -258,6 +258,18 @@ def q_tumbling_hourly(spark, sf_dir):
     )
 
 
+def q_json_props(spark, sf_dir):
+    """Semi-structured column handling: parse events.props JSON, bucket
+    by its 'k' field (the schemaless-map part of the reference's data
+    model, SURVEY.md §1.2, as JSON-string columns)."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy((k % 10).alias("k_bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("sum_value_fp"),
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30 min) per user: session count + events."""
     from crawler_spark.operators.sessionize import sessionize
@@ -722,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_event_per_user": q_first_event_per_user,
         "tumbling_hourly": q_tumbling_hourly,
         "sessionize": q_sessionize,
+        "json_props": q_json_props,
         # text analysis
         "token_counts": q_token_counts,
         "text_quality": q_text_quality,
@@ -838,6 +851,12 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n,
                SUM(CAST(round(value * 10000) AS BIGINT)) AS sum_value_fp
         FROM events GROUP BY 1, 2
+    """
+    sqls["json_props"] = """
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+               COUNT(*) AS n,
+               SUM(CAST(round(value * 10000) AS BIGINT)) AS sum_value_fp
+        FROM events GROUP BY 1
     """
     sqls["sessionize"] = """
         WITH lagged AS (

@@ -21,6 +21,26 @@ from pyspark.sql import functions as F
 from .canon import canonicalize_expr, host_of_expr
 
 
+# P8: the reference defines this ignore regex but never applies it
+# (dom.clj:302); the engine makes it an explicit, optional filter. The
+# graft crawls image pages, so callers may also *invert* it to keep only
+# asset URLs.
+DEFAULT_IGNORE_EXTENSIONS = ("jpg", "jpeg", "css", "gif", "png", "xml")
+
+
+def extension_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    extensions: tuple = DEFAULT_IGNORE_EXTENSIONS,
+    keep_matching: bool = False,
+) -> DataFrame:
+    """Drop (or with keep_matching=True, keep only) URLs whose path ends
+    in one of *extensions*."""
+    pat = r"(?i)\.(" + "|".join(extensions) + r")([?#].*)?$"
+    matches = F.col(url_col).rlike(pat)
+    return df.filter(matches if keep_matching else ~matches)
+
+
 def extract_candidates(fetched: DataFrame, dedup: bool = True) -> DataFrame:
     """fetched: (seq, url, host, out_links, ...) → candidate links.
 

@@ -111,10 +111,17 @@ def crawl_oracle(
         # dual queue: hosts with pending (allowed) content rows may not
         # spend quota on paging rows this epoch
         hosts_with_content = {e["host"] for e in allowed if e["queue"] == "content"}
-        # politeness: per-host quota, smallest insertion_seq first
+        # politeness quota selection: content FIFO; paging deepest
+        # src_xpath first (W3, crawl.clj:437-443), ties by insertion_seq.
+        # Global dequeue order stays ascending insertion_seq (re-sorted
+        # after selection) — depth only decides WHICH rows make quota.
+        def sel_key(e):
+            depth = -len(e.get("src_xpath") or "") if e["queue"] == "paging" else 0
+            return (depth, e["insertion_seq"])
+
         budget_left: dict = {}
         selected, remaining = [], []
-        for entry in sorted(allowed, key=lambda x: x["insertion_seq"]):
+        for entry in sorted(allowed, key=sel_key):
             h = entry["host"]
             if entry["queue"] == "paging" and h in hosts_with_content:
                 remaining.append(entry)
@@ -125,6 +132,7 @@ def crawl_oracle(
                 selected.append(entry)
             else:
                 remaining.append(entry)
+        selected.sort(key=lambda e: e["insertion_seq"])
         frontier = remaining
         if not selected:
             res.metrics.append(
@@ -171,7 +179,7 @@ def crawl_oracle(
                 queue = "paging" if re.match("^[0-9]+$", link["text"] or "") else "content"
                 new_entries.append(
                     {"url": cu, "host": host_of(cu), "insertion_seq": next_seq,
-                     "queue": queue}
+                     "queue": queue, "src_xpath": link["xpath"]}
                 )
                 next_seq += 1
                 enq_ct += 1

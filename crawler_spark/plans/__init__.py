@@ -1,1 +1,7 @@
-from .audit import assert_no_cartesian, explain_str, has_pushed_filters, wholestage_spans  # noqa: F401
+from .audit import (  # noqa: F401
+    assert_no_cartesian,
+    explain_str,
+    has_pushed_filters,
+    read_schema_columns,
+    wholestage_spans,
+)

@@ -74,7 +74,15 @@ def dequeue(allowed: DataFrame, robots: DataFrame, epoch_ms: int) -> tuple:
         F.lit(1),
         F.floor(F.lit(epoch_ms) / F.coalesce(F.col("crawl_delay_ms"), F.lit(1000))),
     )
-    w = Window.partitionBy("host").orderBy("insertion_seq")
+    # quota selection order: content FIFO by insertion_seq; paging rows
+    # deepest-src_xpath first (W3 "promote the deepest paging entry",
+    # crawl.clj:437-443), ties by insertion_seq. A host never mixes the
+    # two queues in one epoch, so one window covers both cases.
+    depth_key = F.when(
+        F.col("queue") == "paging",
+        -F.length(F.coalesce(F.col("src_xpath"), F.lit(""))),
+    ).otherwise(F.lit(0))
+    w = Window.partitionBy("host").orderBy(depth_key.asc(), F.col("insertion_seq").asc())
     ranked = (
         pool.join(F.broadcast(robots.select("host", "crawl_delay_ms")), "host", "left")
         .withColumn("__rn", F.row_number().over(w))

@@ -1,0 +1,56 @@
+"""Physical-plan sweep: every driver-contract query must analyze without
+a cartesian product, and representative scans must show pushdown/pruning.
+Plan-only checks (no execution) — the performance contract as a test."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from crawler_spark.plans import (
+    assert_no_cartesian,
+    has_pushed_filters,
+    read_schema_columns,
+    wholestage_spans,
+)
+
+SF = "/root/testdata/sf0.001"
+
+# queries that launch their own jobs / engines are excluded from the
+# plan-only sweep (crawl_epoch runs a full engine loop)
+SKIP = {"crawl_epoch", "image_decode_stats"}
+
+
+@pytest.mark.parametrize("name", [q for q in entry.queries() if q not in SKIP])
+def test_no_cartesian(spark, name):
+    df = entry.queries()[name](spark, SF)
+    assert_no_cartesian(df)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_orderkey") < 100).select("l_orderkey", "l_quantity")
+    assert has_pushed_filters(q)
+    cols = read_schema_columns(q)
+    assert set(cols) == {"l_orderkey", "l_quantity"}  # column pruning
+
+
+def test_link_extract_stays_jvm(spark):
+    """The hot extraction path must contain no Python evaluation nodes
+    and at least one codegen span."""
+    from crawler_spark.plans import explain_str
+
+    df = entry.q_link_extract(spark, SF)
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert wholestage_spans(df) >= 1
+
+
+def test_fetch_join_is_broadcast(spark):
+    from crawler_spark.plans import explain_str
+    from crawler_spark.synth import SynthConfig, corpus_df
+
+    corpus = corpus_df(spark, SynthConfig(n_pages=200, with_images=False))
+    sel = corpus.limit(5).select("url")
+    plan = explain_str(corpus.join(F.broadcast(sel), "url", "inner"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
