@@ -387,6 +387,26 @@ def q_embed_lsh_bucket(spark, sf_dir):
     )
 
 
+def q_embed_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.35 ≈ the 99.9th
+    percentile of this corpus's pair distances — its max is 0.49, so a
+    production 0.95-style threshold would be vacuously empty here):
+    the dense-vector member of the dedup family."""
+    from crawler_spark.operators.similarity import cosine_expr
+
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= 0.35)
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
 def q_token_overlap_consec(spark, sf_dir):
     """SO2/SO3 set ops: distinct-token overlap between doc i and i+1."""
     d = _read(spark, sf_dir, "documents")
@@ -751,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "embed_topk": q_embed_topk,
         "embed_lsh_bucket": q_embed_lsh_bucket,
+        "embed_cosine_neardup": q_embed_cosine_neardup,
         "lsh_ann_topk": q_lsh_ann_topk,
         # crawl graph (SURVEY §2.2, §2.12)
         "link_extract": q_link_extract,
@@ -1038,6 +1059,13 @@ def oracle_sql() -> dict[str, str]:
             FROM scored)
         SELECT q_id, n_id, round(cos, 4) AS cosine, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 5
+    """
+    sqls["embed_cosine_neardup"] = """
+        WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
     """
     sqls["embed_lsh_bucket"] = """
         WITH dims AS (SELECT CAST(g.i AS INTEGER) AS d FROM generate_series(0, 63) g(i)),

@@ -123,6 +123,29 @@ def test_signature_cosine(spark):
     assert len(out) == 1 and abs(out[0].cosine - 1.0) < 1e-9  # identical shape
 
 
+def test_updated_count(spark):
+    la = spark.createDataFrame(
+        [("x1", "a"), ("x1", "b"), ("x1", "c"), ("x2", "z")], ["xpath", "href"]
+    )
+    lb = spark.createDataFrame([("x1", "a")], ["xpath", "href"])
+    out = {r.xpath: r.novel for r in xpath_model.updated_count(la, lb).collect()}
+    assert out["x1"] == 2  # b, c are novel vs version B
+    assert out["x2"] == 1  # xpath absent in B → all novel
+
+
+def test_weighted_pick_deterministic(spark):
+    rows = [("g", i, float(i + 1)) for i in range(20)]
+    df = spark.createDataFrame(rows, ["g", "item", "wt"])
+    a = windows.weighted_pick_per_group(df, ["g"], "wt", ["item"]).collect()
+    b = windows.weighted_pick_per_group(df, ["g"], "wt", ["item"]).collect()
+    assert len(a) == 1 and [(r.g, r.item) for r in a] == [(r.g, r.item) for r in b]
+
+
+def test_page_nav_chars(links):
+    out = xpath_model.page_nav_chars(links).collect()
+    assert len(out) > 0 and all(r.nav_chars > 0 for r in out)
+
+
 def test_connected_components(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 20)], ["id_a", "id_b"]
