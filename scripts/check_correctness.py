@@ -119,7 +119,11 @@ def main():
             print(f"FAIL  {name}: " + "; ".join(problems))
             fail += 1
         else:
-            print(f"OK    {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            # a 0-row agreement is vacuous — flag it so thresholds that
+            # silently select nothing get noticed (found the hard way
+            # with embed_cosine_neardup at an impossible 0.99 cosine)
+            note = "  [VACUOUS: 0 rows both sides]" if len(srows) == 0 else ""
+            print(f"OK    {name}: {len(srows)} rows ({time.time()-t0:.1f}s){note}")
             ok += 1
     print(f"\n{ok} ok, {rows_only} rows-only, {fail} fail")
     spark.stop()
