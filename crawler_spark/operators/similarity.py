@@ -105,20 +105,19 @@ def lsh_ann_topk(
     reused across query batches."""
 
     def with_buckets(d, idc, vecc, id_out, vec_out):
-        parts = []
-        for t in range(n_tables):
-            parts.append(
-                d.select(
-                    F.col(idc).alias(id_out),
-                    F.col(vecc).alias(vec_out),
-                    F.lit(t).alias("table"),
-                    hyperplane_bucket_expr(F.col(vecc), n_planes, t).alias("bucket"),
+        # one projection pass computes every table's bucket, then a
+        # single posexplode fans out (table, bucket) rows — the corpus is
+        # scanned once, not once per table
+        bucketed = d.select(
+            F.col(idc).alias(id_out),
+            F.col(vecc).alias(vec_out),
+            F.posexplode(
+                F.array(
+                    *[hyperplane_bucket_expr(F.col(vecc), n_planes, t) for t in range(n_tables)]
                 )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+            ).alias("table", "bucket"),
+        )
+        return bucketed
 
     c = with_buckets(df, id_col, vec_col, "n_id", "n_vec")
     q = with_buckets(queries, id_col, vec_col, "q_id", "q_vec")
