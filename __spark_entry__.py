@@ -159,8 +159,10 @@ def q_join_agg(spark, sf_dir):
 
 
 def q_anti_join(spark, sf_dir):
-    """J1 anti-join: customers that never ordered."""
-    o = _read(spark, sf_dir, "orders")
+    """J1 anti-join: customers with no order above 400k (a plain
+    customers-without-orders anti-join is vacuously empty in this data
+    — every customer has orders)."""
+    o = _read(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     c = _read(spark, sf_dir, "customer")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
@@ -653,6 +655,21 @@ def q_training_data_pipeline(spark, sf_dir):
     return survivors.select("doc_id", "source")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components over the n-gram Jaccard
+    pair graph (threshold 0.6); every document labeled with its cluster's
+    canonical (minimum) doc_id — the final 'keep one per cluster' step of
+    a corpus dedup pass (C6 single-linkage at corpus scale)."""
+    from crawler_spark.operators.clustering import cluster_pages_by_similarity
+    from crawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.6).select("id_a", "id_b")
+    ids = d.select(F.col("doc_id").alias("id"))
+    out = cluster_pages_by_similarity(pairs, ids)
+    return out.select(F.col("id").alias("doc_id"), F.col("cluster_id").alias("canonical_id"))
+
+
 def q_pagination_detect(spark, sf_dir):
     """Full pagination detection: digit-anchor pick + structural
     similarity of source and target page signatures (J6)."""
@@ -792,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seeded_sample": q_seeded_sample,
         "training_data_pipeline": q_training_data_pipeline,
         "pagination_detect": q_pagination_detect,
+        "dedup_clusters": q_dedup_clusters,
         # engine / multimodal (rows-only)
         "crawl_epoch": q_crawl_epoch,
         "image_decode_stats": q_image_decode_stats,
@@ -817,7 +835,8 @@ def oracle_sql() -> dict[str, str]:
     """
     sqls["anti_join"] = """
         SELECT c_custkey FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
     """
     sqls["semi_join"] = """
         SELECT p_partkey, p_brand FROM part p
@@ -1141,6 +1160,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE m / CAST(sa.sz + sb.sz - m AS DOUBLE) >= 0.8)
         SELECT e.doc_id, e.source FROM exact_keep e
         WHERE NOT EXISTS (SELECT 1 FROM near_b n WHERE n.doc_id = e.doc_id)
+    """
+    sqls["dedup_clusters"] = f"""
+        WITH RECURSIVE {_SHINGLES_CTE.strip().lstrip()},
+        hashed AS (SELECT DISTINCT doc_id, {_H61.format(x='s')} AS h FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hashed GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS m
+                  FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+            WHERE m / CAST(sa.sz + sb.sz - m AS DOUBLE) >= 0.6),
+        sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT a AS id FROM sym),
+        reach(id, comp) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT s.a, r.comp FROM sym s JOIN reach r ON r.id = s.b),
+        comp AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id)
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
     """
     sqls["pagination_detect"] = f"""
         WITH {_LINKS_CTE.strip().lstrip('WITH').strip()},
