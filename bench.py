@@ -30,7 +30,7 @@ def time_df(fn, *args):
     return time.time() - t0, n
 
 
-def crawl_engine_bench(spark, n_pages=50_000, epochs=6):
+def crawl_engine_bench(spark, n_pages=30_000, epochs=5):
     """Engine-loop throughput: big quotas (10-min epochs) so batches are
     thousands of URLs; corpus pre-materialized so generation cost is not
     billed to the engine; throughput-profile config (commit every 2
