@@ -138,7 +138,7 @@ def q_pricing_summary(spark, sf_dir):
         .agg(
             F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_cents"),
             F.sum(_cents(F.col("l_extendedprice"))).alias("sum_price_cents"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.avg("l_discount") * 10000).cast("long").alias("avg_disc_fp"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -253,7 +253,10 @@ def q_tumbling_hourly(spark, sf_dir):
     """Event-time tumbling window agg (streaming twin in streaming/)."""
     ev = _read(spark, sf_dir, "events")
     return ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("win_start"), "event_type"
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+            "win_start"
+        ),
+        "event_type",
     ).agg(
         F.count("*").alias("n"),
         F.sum(F.round(F.col("value") * 10000).cast("long")).alias("sum_value_fp"),
@@ -393,18 +396,18 @@ def q_embed_cosine_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.35 ≈ the 99.9th
     percentile of this corpus's pair distances — its max is 0.49, so a
     production 0.95-style threshold would be vacuously empty here):
-    the dense-vector member of the dedup family."""
-    from crawler_spark.operators.similarity import cosine_expr
+    the dense-vector member of the dedup family.
 
-    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    pairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
-        .filter(F.col("cosine") >= 0.35)
+    LSH-blocked (4 planes × 4 tables, deterministic hyperplanes restated
+    in the oracle) + exact cosine verify — the round-1 all-pairs
+    nested-loop join was the one scale-killer in the dedup family; this
+    plan is equi-join only (asserted by the plan sweep, which now also
+    rejects BroadcastNestedLoopJoin)."""
+    from crawler_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    pairs = cosine_neardup_pairs(
+        emb, "embedding", "vec_id", threshold=0.35, n_planes=4, n_tables=4
     )
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
@@ -530,7 +533,10 @@ def q_enum_scores(spark, sf_dir):
 
     out = enum_candidate_score(l)
     return out.select(
-        "xpath", "total_hrefs", "df", F.round("score", 4).alias("score")
+        "xpath",
+        "total_hrefs",
+        "df",
+        F.round(F.col("score") * 10000).cast("long").alias("score_fp"),
     )
 
 
@@ -821,15 +827,15 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
-               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
-               round(AVG(l_discount), 4) AS avg_disc,
+               CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+               CAST(round(AVG(l_discount) * 10000) AS BIGINT) AS avg_disc_fp,
                COUNT(*) AS n_rows
         FROM lineitem GROUP BY 1, 2
     """
     sqls["join_agg"] = """
         SELECT c_mktsegment, COUNT(*) AS n_orders,
-               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1
     """
@@ -887,15 +893,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events) WHERE rn = 1
     """
     sqls["tumbling_hourly"] = """
-        SELECT date_trunc('hour', ts) AS win_start, event_type,
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+               event_type,
                COUNT(*) AS n,
-               SUM(CAST(round(value * 10000) AS BIGINT)) AS sum_value_fp
+               CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_fp
         FROM events GROUP BY 1, 2
     """
     sqls["json_props"] = """
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
                COUNT(*) AS n,
-               SUM(CAST(round(value * 10000) AS BIGINT)) AS sum_value_fp
+               CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_fp
         FROM events GROUP BY 1
     """
     sqls["sessionize"] = """
@@ -913,7 +920,7 @@ def oracle_sql() -> dict[str, str]:
                    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
             FROM flags)
-        SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+        SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         FROM sess GROUP BY 1
     """
     sqls["token_counts"] = f"""
@@ -922,7 +929,7 @@ def oracle_sql() -> dict[str, str]:
         exploded AS (SELECT doc_id, unnest(ts) AS tok FROM toks)
         SELECT t.doc_id,
                CAST(len(t.ts) AS INTEGER) AS n_tokens,
-               (SELECT SUM(CAST(ceil(length(e.tok) / 4.0) AS BIGINT))
+               (SELECT CAST(SUM(CAST(ceil(length(e.tok) / 4.0) AS BIGINT)) AS BIGINT)
                 FROM exploded e WHERE e.doc_id = t.doc_id) AS n_subwords,
                CAST(length(t.text) AS INTEGER) AS n_chars_raw
         FROM toks t
@@ -1054,7 +1061,7 @@ def oracle_sql() -> dict[str, str]:
                     FROM nonempty JOIN generate_series(0, 15) g(i) ON true),
         sums AS (SELECT doc_id, bit, SUM(v) AS s FROM contrib GROUP BY 1, 2)
         SELECT doc_id,
-               SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+               CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
         FROM sums GROUP BY 1
     """
     sqls["phash_neardup"] = """
@@ -1079,12 +1086,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT q_id, n_id, round(cos, 4) AS cosine, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 5
     """
+    # LSH-blocked near-dup: restates the Spark side's deterministic
+    # hyperplane blocking (weight(t,p,d) = (((t*97+p)*131 + d*137) % 997)
+    # - 498, bucket = packed sign bits over 4 planes, 4 tables), then the
+    # exact cosine verify — same candidate set, same pairs.
     sqls["embed_cosine_neardup"] = """
-        WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < 400),
+        dims AS (SELECT CAST(g.i AS INTEGER) AS d FROM generate_series(0, 63) g(i)),
+        tp AS (SELECT CAST(t.i AS INTEGER) AS t, CAST(p.i AS INTEGER) AS p
+               FROM generate_series(0, 3) t(i), generate_series(0, 3) p(i)),
+        proj AS (
+            SELECT e.vec_id, tp.t, tp.p,
+                   SUM(e.v[dims.d + 1]
+                       * ((((tp.t * 97 + tp.p) * 131 + dims.d * 137) % 997) - 498)) AS pr
+            FROM e, dims, tp
+            WHERE dims.d < len(e.v)
+            GROUP BY 1, 2, 3),
+        buckets AS (
+            SELECT vec_id, t,
+                   CAST(SUM(CASE WHEN pr > 0 THEN 1 << p ELSE 0 END) AS INTEGER) AS bucket
+            FROM proj GROUP BY 1, 2),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM buckets a JOIN buckets b
+              ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT c.id_a, c.id_b,
+               round(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+        FROM cand c JOIN e ea ON ea.vec_id = c.id_a
+                    JOIN e eb ON eb.vec_id = c.id_b
+        WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35
     """
     sqls["embed_lsh_bucket"] = """
         WITH dims AS (SELECT CAST(g.i AS INTEGER) AS d FROM generate_series(0, 63) g(i)),
@@ -1243,7 +1274,7 @@ def oracle_sql() -> dict[str, str]:
     """
     sqls["xpath_char_score"] = f"""
         WITH {_LINKS_CTE.strip().lstrip('WITH').strip()}
-        SELECT xpath, SUM(length(text)) AS char_score, COUNT(*) AS href_count
+        SELECT xpath, CAST(SUM(length(text)) AS BIGINT) AS char_score, COUNT(*) AS href_count
         FROM links2 WHERE NOT is_js GROUP BY 1
     """
     sqls["template_incidence"] = f"""
@@ -1274,8 +1305,9 @@ def oracle_sql() -> dict[str, str]:
         WITH {_LINKS_CTE.strip().lstrip('WITH').strip()},
         per_page AS (SELECT xpath, doc_id, COUNT(*) AS n_hrefs
                      FROM links2 WHERE NOT is_js GROUP BY 1, 2)
-        SELECT xpath, SUM(n_hrefs) AS total_hrefs, COUNT(DISTINCT doc_id) AS df,
-               round(ln(SUM(n_hrefs) + 10) / COUNT(DISTINCT doc_id), 4) AS score
+        SELECT xpath, CAST(SUM(n_hrefs) AS BIGINT) AS total_hrefs,
+               COUNT(DISTINCT doc_id) AS df,
+               CAST(round(ln(SUM(n_hrefs) + 10) / COUNT(DISTINCT doc_id) * 10000) AS BIGINT) AS score_fp
         FROM per_page GROUP BY 1
     """
     sqls["yield_estimate"] = f"""

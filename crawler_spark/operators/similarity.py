@@ -136,6 +136,48 @@ def lsh_ann_topk(
     )
 
 
+def cosine_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking: candidate
+    pairs come ONLY from rows sharing a hyperplane bucket in at least one
+    of ``n_tables`` tables (equi-join on (table, bucket) — a hash join,
+    never an all-pairs nested loop), then an exact cosine verify applies
+    ``threshold``. This is the 100 TB shape of the dedup family's dense
+    member: the all-pairs O(n²) variant dies at 10⁹ vectors, the bucketed
+    one shuffles each vector n_tables times and joins within buckets.
+
+    Approximate by construction (a true pair that never collides in any
+    table is missed); recall is tuned with (n_planes, n_tables) and the
+    blocking is deterministic, so an oracle can restate it exactly.
+    Returns (id_a, id_b, cosine) with id_a < id_b, distinct pairs."""
+    vd = F.col(vec_col).cast("array<double>")  # double before bucket math:
+    # sign(proj) must agree bit-for-bit with a double-precision oracle
+    bucketed = df.select(
+        F.col(id_col).alias("id"),
+        vd.alias("v"),
+        F.posexplode(
+            F.array(*[hyperplane_bucket_expr(vd, n_planes, t) for t in range(n_tables)])
+        ).alias("table", "bucket"),
+    )
+    a = bucketed.select("table", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = bucketed.select("table", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()  # a pair may collide in several tables
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def char_freq_cosine_consec(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """C4 structural similarity: cosine over letter-frequency vectors of
     row i vs row i+1 (the external structural-similarity dep's

@@ -43,6 +43,16 @@ def wholestage_spans(df: DataFrame) -> int:
     return len(set(re.findall(r"\*\((\d+)\)", plan)))
 
 
-def assert_no_cartesian(df: DataFrame) -> None:
+def assert_no_cartesian(df: DataFrame, allow_bnlj: bool = False) -> None:
+    """Reject all-pairs join shapes. Spark spells a non-equi join two
+    ways — CartesianProduct AND BroadcastNestedLoopJoin — and the latter
+    is just as much an O(n·m) scan (round-1 blind spot: the all-pairs
+    embedding join passed this check under its BNLJ name). A deliberate
+    broadcast-stream shape (tiny broadcast side, e.g. brute-force ANN
+    baseline) may opt in with allow_bnlj=True."""
     plan = explain_str(df)
     assert "CartesianProduct" not in plan, "unexpected cartesian product:\n" + plan
+    if not allow_bnlj:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            "unexpected nested-loop join (all-pairs shape):\n" + plan
+        )

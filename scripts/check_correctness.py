@@ -19,23 +19,60 @@ TABLES = [
 
 
 def norm_cell(v):
+    """Type-TAGGED normalization: a Decimal, datetime, or float that happens
+    to print like an int must NOT hash equal to that int — the driver's
+    hasher is type-sensitive (round-1 lesson: DuckDB SUM → HUGEINT →
+    float64 in its fetch path while Spark emits int64, and the untagged
+    str() normalizer here masked all 9 failures)."""
     import datetime
     import math
     from decimal import Decimal
 
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return "b:" + str(v).lower()
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return f"{v:.6g}"
+            return "f:NaN"
+        return f"f:{v:.6g}"
     if isinstance(v, Decimal):
-        return f"{float(v):.6g}"
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
-    if isinstance(v, bool):
-        return str(v).lower()
+        return f"dec:{v}"
+    if isinstance(v, datetime.datetime):
+        return "ts:" + v.isoformat()
+    if isinstance(v, datetime.date):
+        return "d:" + v.isoformat()
+    if isinstance(v, int):
+        return f"i:{v}"
     return str(v)
+
+
+def canon_type(t):
+    """Canonical label for an Arrow type: strict enough to catch the
+    mismatches that break the driver's value hash (hugeint/decimal vs
+    int, timestamp vs string), loose on width (int32 == int64 — both
+    stringify identically in any normalizer)."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    return str(t)
 
 
 def value_hash(rows, cols):
@@ -76,6 +113,9 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stypes = {
+                f.name: canon_type(f.type) for f in sdf.toArrow().schema
+            }
             srows = [r.asDict() for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
@@ -86,9 +126,10 @@ def main():
             rows_only += 1
             continue
         try:
-            ddf = con.sql(oracles[name])
-            dcols = [d[0] for d in ddf.description]
-            drows = [dict(zip(dcols, row)) for row in ddf.fetchall()]
+            dtab = con.sql(oracles[name]).arrow()
+            dcols = dtab.schema.names
+            dtypes = {f.name: canon_type(f.type) for f in dtab.schema}
+            drows = dtab.to_pylist()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
             fail += 1
@@ -96,6 +137,12 @@ def main():
         problems = []
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols {sorted(scols)} vs {sorted(dcols)}")
+        else:
+            tmis = {
+                c: (stypes[c], dtypes[c]) for c in scols if stypes[c] != dtypes[c]
+            }
+            if tmis:
+                problems.append(f"types {tmis}")
         if len(srows) != len(drows):
             problems.append(f"rows {len(srows)} vs {len(drows)}")
         if not problems:
