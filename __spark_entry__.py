@@ -449,6 +449,40 @@ def q_link_extract(spark, sf_dir):
     )
 
 
+def q_html_extract(spark, sf_dir):
+    """P1/P2/P9 front door on REAL markup: build an HTML body per document
+    (structure derived from doc_id, so the oracle can state the expected
+    parse in closed form), run the stdlib-parser mapInPandas stage, and
+    emit every anchor with its generalized xpath. The xpath strings below
+    follow the reference's tag/id/class rules exactly
+    (dom.clj:101-199, pinned by dom_test.clj — see crawler_spark/dom.py)."""
+    from crawler_spark.dom import anchors_from_html
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    item = lambda j: F.concat(  # noqa: E731
+        F.lit(f'<a href="/p/'),
+        (F.col("doc_id") * 3 + j).cast("string"),
+        F.lit(f'" class="item{j}">t{j} '),
+        (F.col("doc_id") + j).cast("string"),
+        F.lit("</a>"),
+    )
+    html = F.concat(
+        F.lit('<html><body><script>var x = "<a href=\'no\'>n</a>";</script><div id="nav'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('" class="menu-bar'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(' lnk">'),
+        item(0),
+        item(1),
+        item(2),
+        F.lit('<a href="/skip/'),
+        F.col("doc_id").cast("string"),
+        F.lit('" rel="nofollow">x</a></div></body></html>'),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    return anchors_from_html(pages, "html", ("doc_id",))
+
+
 def q_url_seen_antijoin(spark, sf_dir):
     """J1 URL-seen: candidates minus seen (seen = docs with id%3==0)."""
     l = q_link_extract(spark, sf_dir).select("href").distinct()
@@ -798,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         # crawl graph (SURVEY §2.2, §2.12)
         "link_extract": q_link_extract,
+        "html_extract": q_html_extract,
         "url_seen_antijoin": q_url_seen_antijoin,
         "politeness_quota": q_politeness_quota,
         "host_page_counts": q_host_page_counts,
@@ -1241,6 +1276,32 @@ def oracle_sql() -> dict[str, str]:
         WITH {_LINKS_CTE.strip().lstrip('WITH').strip()}
         SELECT doc_id, href, xpath FROM links2
         WHERE NOT is_js AND NOT nofollow AND tgt_host = src_host
+    """
+    # html_extract: the HTML is a closed-form function of doc_id, so the
+    # expected parse (href, text, generalized xpath per the reference's
+    # tag/id/class rules) is stated directly — the parser must invert the
+    # construction exactly, script block and nofollow anchor included.
+    div_xp = (
+        "//html/body/div[contains(@id,'nav') and contains(@class,'menu-bar')"
+        " or contains(@class,'lnk')]"
+    ).replace("'", "''")  # SQL string-literal escaping
+    sqls["html_extract"] = f"""
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+        items AS (
+            SELECT d.doc_id, CAST(g.i AS INTEGER) AS pos,
+                   '/p/' || CAST(d.doc_id * 3 + g.i AS VARCHAR) AS href,
+                   't' || CAST(g.i AS VARCHAR) || ' ' || CAST(d.doc_id + g.i AS VARCHAR) AS text,
+                   '{div_xp}/a[contains(@class,''item'')]' AS xpath,
+                   false AS nofollow
+            FROM d JOIN generate_series(0, 2) g(i) ON true),
+        skips AS (
+            SELECT doc_id, CAST(3 AS INTEGER) AS pos,
+                   '/skip/' || CAST(doc_id AS VARCHAR) AS href,
+                   'x' AS text,
+                   '{div_xp}/a' AS xpath,
+                   true AS nofollow
+            FROM d)
+        SELECT * FROM items UNION ALL SELECT * FROM skips
     """
     sqls["url_seen_antijoin"] = f"""
         WITH {_LINKS_CTE.strip().lstrip('WITH').strip()},

@@ -104,6 +104,14 @@ class CrawlEngine:
     ):
         self.spark = spark
         self.cfg = cfg or EngineConfig()
+        # HTML front door (P1/P2/P9): a corpus that carries raw markup
+        # instead of pre-parsed anchors gets out_links derived by the
+        # real parser stage (crawler_spark/dom.py) — same engine
+        # semantics downstream either way
+        if "out_links" not in corpus.columns and "html" in corpus.columns:
+            from .dom import with_out_links
+
+            corpus = with_out_links(corpus, "html", "url")
         self.corpus = corpus
         self.robots = robots
         self.ckpt = self.cfg.checkpoint_dir or tempfile.mkdtemp(prefix="crawl-ckpt-")
