@@ -333,10 +333,14 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
+    """df_cap=3 is deliberately BELOW this corpus's max shingle document
+    frequency (4), so the hot-shingle guard — the thing that stops one
+    boilerplate shingle on 10⁶ docs from creating 10¹² join rows at scale
+    — is actually exercised and restated in the oracle, not a no-op."""
     from crawler_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _read(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.2)
+    out = ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.2, df_cap=3)
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
@@ -762,6 +766,58 @@ def q_crawl_epoch(spark, sf_dir):
     return eng.crawl_order
 
 
+def q_crawl_epoch_oracle(spark, sf_dir):
+    """One scheduling epoch, DRIVER-ORACLED (VERDICT r1 item 9): robots
+    filter → the REAL politeness.dequeue (two-phase salted quota window)
+    → link extraction → within-batch first-wins → URL-seen anti-join →
+    sequence assignment, over the documents-derived link graph, restated
+    exactly in SQL. The multi-epoch engine keeps its exact-parity gate in
+    tests/test_engine_parity.py; this makes one epoch's full operator
+    chain hash-checkable by the driver too."""
+    from crawler_spark import politeness
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+    frontier = d.select(
+        F.col("doc_id"),
+        (F.col("doc_id") % N_HOSTS).alias("host"),
+        _url_expr(F.col("doc_id"), F.col("doc_id") % N_HOSTS).alias("url"),
+        F.col("doc_id").alias("insertion_seq"),
+        F.lit("content").alias("queue"),
+        F.lit(None).cast("string").alias("src_xpath"),
+    )
+    robots = spark.createDataFrame(
+        [
+            (h, ["/p/1"] if h % 4 == 0 else [], 1000 * (1 + h % 3))
+            for h in range(N_HOSTS)
+        ],
+        "host long, disallow_prefixes array<string>, crawl_delay_ms long",
+    )
+    allowed, _dis = politeness.robots_filter(frontier, robots)
+    selected, _rest = politeness.dequeue(allowed, robots, epoch_ms=20000)
+
+    links = _links_df(spark, sf_dir).filter(
+        ~F.col("is_js") & ~F.col("nofollow") & (F.col("tgt_host") == F.col("src_host"))
+    )
+    cand = links.join(
+        selected.select(F.col("doc_id"), F.col("insertion_seq").alias("src_seq")),
+        "doc_id",
+    )
+    w_first = Window.partitionBy("href").orderBy("src_seq", "j")
+    first = (
+        cand.withColumn("__rn", F.row_number().over(w_first))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    seen = frontier.select("url")
+    new = first.join(seen, first.href == seen.url, "left_anti")
+    w_seq = Window.orderBy("src_seq", "j")
+    return new.select(
+        F.col("href").alias("url"),
+        F.col("doc_id").alias("src_doc"),
+        (F.row_number().over(w_seq) - 1).cast("long").alias("new_seq"),
+    )
+
+
 def q_image_decode_stats(spark, sf_dir):
     """Multimodal decode over binary image column (rows-only: the codec
     is the sandbox stub; plumbing is what's exercised)."""
@@ -833,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # crawl graph (SURVEY §2.2, §2.12)
         "link_extract": q_link_extract,
         "html_extract": q_html_extract,
+        "crawl_epoch_oracle": q_crawl_epoch_oracle,
         "url_seen_antijoin": q_url_seen_antijoin,
         "politeness_quota": q_politeness_quota,
         "host_page_counts": q_host_page_counts,
@@ -1035,7 +1092,9 @@ def oracle_sql() -> dict[str, str]:
     """
     sqls["ngram_jaccard"] = f"""
         WITH {_SHINGLES_CTE.strip().lstrip()},
-        hashed AS (SELECT DISTINCT doc_id, {_H61.format(x='s')} AS h FROM sh),
+        hashed0 AS (SELECT DISTINCT doc_id, {_H61.format(x='s')} AS h FROM sh),
+        keepable AS (SELECT h FROM hashed0 GROUP BY h HAVING COUNT(*) <= 3),
+        hashed AS (SELECT hashed0.* FROM hashed0 JOIN keepable USING (h)),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hashed GROUP BY 1),
         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS m
                   FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
@@ -1302,6 +1361,46 @@ def oracle_sql() -> dict[str, str]:
                    true AS nofollow
             FROM d)
         SELECT * FROM items UNION ALL SELECT * FROM skips
+    """
+    # crawl_epoch_oracle: one epoch of the engine's operator chain —
+    # robots disallow, per-host quota = 20000 // (1000·(1+h%3)) FIFO
+    # window, same-host link extract, first-wins dedup, seen anti-join,
+    # global sequence by (parent seq, link position).
+    sqls["crawl_epoch_oracle"] = f"""
+        WITH {_LINKS_CTE.strip().lstrip('WITH').strip()},
+        frontier AS (
+            SELECT doc_id, doc_id % {N_HOSTS} AS host,
+                   'http://host' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+                     || '.test/p/' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents WHERE doc_id < 240),
+        allowed AS (
+            SELECT * FROM frontier
+            WHERE NOT (host % 4 = 0
+                       AND starts_with('/p/' || CAST(doc_id AS VARCHAR), '/p/1'))),
+        sel AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, host,
+                       row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+                FROM allowed)
+            WHERE rn <= 20000 // (1000 * (1 + host % 3))),
+        cand AS (
+            SELECT l.doc_id, l.j, l.doc_id AS src_seq,
+                   'http://host' || CAST(l.tgt_host AS VARCHAR)
+                     || '.test/p/' || CAST(l.tgt AS VARCHAR) AS href
+            FROM links l JOIN sel s ON s.doc_id = l.doc_id
+            WHERE NOT l.is_js AND NOT l.nofollow AND l.tgt_host = l.src_host),
+        first_w AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY href
+                                             ORDER BY src_seq, j) AS rn
+                FROM cand)
+            WHERE rn = 1),
+        new AS (
+            SELECT f.* FROM first_w f
+            WHERE NOT EXISTS (SELECT 1 FROM frontier fr WHERE fr.url = f.href))
+        SELECT href AS url, doc_id AS src_doc,
+               CAST(row_number() OVER (ORDER BY src_seq, j) - 1 AS BIGINT) AS new_seq
+        FROM new
     """
     sqls["url_seen_antijoin"] = f"""
         WITH {_LINKS_CTE.strip().lstrip('WITH').strip()},

@@ -45,6 +45,7 @@ from .extract import count_extracted, extract_candidates
 from .operators.sequence import with_global_seq
 from .schema import (
     CONTENT_SEEN_SCHEMA,
+    EXTRACTED_SCHEMA,
     CRAWL_ORDER_SCHEMA,
     FRONTIER_SCHEMA,
     LINEAGE_SCHEMA,
@@ -90,7 +91,7 @@ class EngineConfig:
 
 _STATE_TABLES = (
     "frontier", "url_seen", "segments", "crawl_order", "lineage", "metrics",
-    "content_seen",
+    "content_seen", "extracted",
 )
 
 
@@ -113,6 +114,18 @@ class CrawlEngine:
 
             corpus = with_out_links(corpus, "html", "url")
         self.corpus = corpus
+        # S3 redirect closure: alias_url → canonical url, derived from the
+        # corpus once (reference inserts every redirect hop into visited
+        # and caches by all aliases, crawl.clj:1054-1060,
+        # utils.clj:210-227). Per epoch the quota-bounded batch is
+        # broadcast against this projection — the map never shuffles.
+        self._alias_map = None
+        if "aliases" in corpus.columns:
+            amap = corpus.select(
+                F.explode("aliases").alias("alias_url"),
+                F.col("url").alias("final_url"),
+            )
+            self._alias_map = amap
         self.robots = robots
         self.ckpt = self.cfg.checkpoint_dir or tempfile.mkdtemp(prefix="crawl-ckpt-")
         os.makedirs(self.ckpt, exist_ok=True)
@@ -129,13 +142,17 @@ class CrawlEngine:
         """Write all state tables + manifest atomically-ish (manifest last,
         written only after every table landed — the commit point)."""
         d = self._snap_dir(epoch)
-        self._last_committed = epoch
         for name in _STATE_TABLES:
             df = self._state[name]
             df.write.mode("overwrite").parquet(os.path.join(d, name))
         with open(os.path.join(d, "manifest.json.tmp"), "w") as f:
             json.dump(self._manifest, f)
         os.replace(os.path.join(d, "manifest.json.tmp"), os.path.join(d, "manifest.json"))
+        # durability claimed only once the manifest rename (the commit
+        # point) succeeded — a mid-commit failure must leave
+        # _last_committed at the previous epoch so run()'s final safety
+        # commit isn't skipped by a caller that caught the error
+        self._last_committed = epoch
         # reload state from disk → truncates iterative lineage
         for name in _STATE_TABLES:
             schema = {
@@ -145,6 +162,7 @@ class CrawlEngine:
                 "lineage": LINEAGE_SCHEMA,
                 "metrics": METRICS_SCHEMA,
                 "content_seen": CONTENT_SEEN_SCHEMA,
+                "extracted": EXTRACTED_SCHEMA,
             }.get(name)
             path = os.path.join(d, name)
             self._state[name] = (
@@ -224,6 +242,7 @@ class CrawlEngine:
             "lineage": spark.createDataFrame([], LINEAGE_SCHEMA),
             "metrics": spark.createDataFrame([], METRICS_SCHEMA),
             "content_seen": spark.createDataFrame([], CONTENT_SEEN_SCHEMA),
+            "extracted": spark.createDataFrame([], EXTRACTED_SCHEMA),
         }
         self._manifest = {
             "epoch": -1, "next_seq": n_seeds, "dequeue_seq": 0, "leaves_fetched": 0,
@@ -276,20 +295,69 @@ class CrawlEngine:
             selected_raw, ["insertion_seq"], "seq", dequeue_seq, n_selected
         )
 
+        # redirect resolution (S3): scheduled urls that are aliases fetch
+        # their canonical page. alias_map streams; the batch broadcasts.
+        sel_urls = selected.select("seq", "url")
+        if self._alias_map is not None:
+            am = self._alias_map.join(
+                F.broadcast(sel_urls),
+                self._alias_map["alias_url"] == sel_urls["url"],
+                "inner",
+            ).select("seq", "final_url")
+            resolved = sel_urls.join(F.broadcast(am), "seq", "left").select(
+                "seq",
+                F.col("url").alias("requested_url"),
+                F.coalesce("final_url", F.col("url")).alias("url"),
+            )
+        else:
+            resolved = sel_urls.select(
+                "seq", F.col("url").alias("requested_url"), "url"
+            )
+
         # fetch: broadcast the quota-bounded batch into the corpus scan —
         # the corpus (10^10-row side) never shuffles
-        fetch_cols = ["seq", "url", "host", "out_links", "is_leaf"]
+        fetch_cols = ["seq", "requested_url", "url", "host", "out_links", "is_leaf"]
         if cfg.track_content_dups:
             fetch_cols.append("caption")
-        fetched = self.corpus.join(
-            F.broadcast(selected.select("seq", "url")), "url", "inner"
-        ).select(*fetch_cols)
+        fetched = self.corpus.join(F.broadcast(resolved), "url", "inner").select(
+            *fetch_cols
+        )
+        if self._alias_map is not None:
+            # redirect cache (sequential semantics): a fetch resolving to
+            # a page already extracted — in an earlier epoch (extracted
+            # table) or earlier in this batch (smaller seq, same page) —
+            # is counted as fetched but not re-extracted
+            w_dup = Window.partitionBy("url").orderBy("seq")
+            prev_hits = self._state["extracted"].join(
+                F.broadcast(fetched.select("url").distinct()), "url", "left_semi"
+            ).withColumn("__prev", F.lit(True))
+            fetched = (
+                fetched.withColumn("__dup_rn", F.row_number().over(w_dup))
+                .join(F.broadcast(prev_hits), "url", "left")
+                .withColumn(
+                    "__cache_hit",
+                    (F.col("__dup_rn") > 1) | F.col("__prev").isNotNull(),
+                )
+                .drop("__dup_rn", "__prev")
+            )
+        else:
+            fetched = fetched.withColumn("__cache_hit", F.lit(False))
         fetched.persist()
         frow = fetched.agg(
             F.count("*").alias("n"),
-            F.coalesce(F.sum(F.col("is_leaf").cast("long")), F.lit(0)).alias("lv"),
+            F.coalesce(
+                F.sum((F.col("is_leaf") & ~F.col("__cache_hit")).cast("long")),
+                F.lit(0),
+            ).alias("lv"),
         ).first()
         n_fetched, n_leaves = frow["n"], frow["lv"]
+        extract_input = fetched.filter(~F.col("__cache_hit")).drop(
+            "__cache_hit", "requested_url"
+        )
+        if self._alias_map is not None:
+            self._state["extracted"] = self._state["extracted"].unionByName(
+                extract_input.select("url")
+            )
 
         n_neardup = 0
         if cfg.track_content_dups:
@@ -298,7 +366,7 @@ class CrawlEngine:
             # earlier in this epoch's dequeue order)
             from .operators.dedup import md5_hash61, normalize_text
 
-            hashes = fetched.select(
+            hashes = extract_input.select(
                 "seq", md5_hash61(normalize_text(F.col("caption"))).alias("caption_hash")
             )
             w_h = Window.partitionBy("caption_hash").orderBy("seq")
@@ -310,12 +378,13 @@ class CrawlEngine:
             ).select("caption_hash")
             fresh_hashes.persist()
             n_fresh = fresh_hashes.count()
-            n_neardup = n_fetched - n_fresh
+            n_extracted = extract_input.count() if self._alias_map is not None else n_fetched
+            n_neardup = n_extracted - n_fresh
             self._state["content_seen"] = self._state["content_seen"].unionByName(
                 fresh_hashes
             )
 
-        cand_all = extract_candidates(fetched, dedup=False).withColumn(
+        cand_all = extract_candidates(extract_input, dedup=False).withColumn(
             "url_hash", F.xxhash64("url")
         ).withColumn("partition_id", bucket_expr(F.col("url_hash"), cfg.n_seen_buckets))
         cand_all.persist()
@@ -323,7 +392,9 @@ class CrawlEngine:
         # occurrence, so count BEFORE within-batch dedup
         n_candidates = cand_all.count()
         n_links = (
-            count_extracted(fetched).count() if cfg.detailed_metrics else n_candidates
+            count_extracted(extract_input).count()
+            if cfg.detailed_metrics
+            else n_candidates
         )
         w_first = Window.partitionBy("url").orderBy("src_seq", "pos")
         candidates = (
@@ -331,6 +402,26 @@ class CrawlEngine:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+        closure = None
+        if self._alias_map is not None:
+            # redirect closure: a followed redirect inserts the canonical
+            # url into url_seen at its fetch seq — sequentially BEFORE
+            # link extraction of that page and every later page, so
+            # candidates from src_seq ≥ the closure seq are dups
+            closure = fetched.filter(
+                F.col("requested_url") != F.col("url")
+            ).select("seq", "url")
+            closure.persist()
+            candidates = candidates.join(
+                F.broadcast(
+                    closure.select(
+                        F.col("url").alias("__curl"), F.col("seq").alias("__cseq")
+                    )
+                ),
+                (F.col("url") == F.col("__curl"))
+                & (F.col("__cseq") <= F.col("src_seq")),
+                "left_anti",
+            )
 
         survivors_raw = anti_join_seen(
             candidates,
@@ -352,6 +443,26 @@ class CrawlEngine:
             "queue",
         )
         new_seen = survivors.select("partition_id", "url_hash", "url")
+        if closure is not None:
+            # canonical urls reached via redirect enter url_seen too —
+            # unless already seen, or enqueued as a candidate this epoch
+            closure_urls = (
+                closure.select("url")
+                .distinct()
+                .withColumn("url_hash", F.xxhash64("url"))
+                .withColumn(
+                    "partition_id", bucket_expr(F.col("url_hash"), cfg.n_seen_buckets)
+                )
+            )
+            closure_new = anti_join_seen(
+                closure_urls,
+                self._state["url_seen"],
+                self._state["segments"] if cfg.use_bloom else None,
+                cfg.bloom_m_bits,
+            ).join(new_seen.select("url"), "url", "left_anti")
+            new_seen = new_seen.unionByName(
+                closure_new.select("partition_id", "url_hash", "url")
+            )
         self._state["url_seen"] = self._state["url_seen"].unionByName(new_seen)
         if cfg.use_bloom:
             self._state["segments"] = build_segments(
@@ -394,6 +505,8 @@ class CrawlEngine:
         # state evaluation between commits never recomputes them
         self._pending_unpersist.extend([flagged, selected_raw, fetched, cand_all,
                                         survivors_raw])
+        if closure is not None:
+            self._pending_unpersist.append(closure)
         if cfg.commit_every <= 1 or (epoch + 1) % cfg.commit_every == 0:
             self._commit(epoch)
         else:
@@ -402,7 +515,8 @@ class CrawlEngine:
             # bloom cogroups (measured 10× epoch-loop slowdown). The
             # append-only tables (crawl_order/lineage/metrics) are only
             # read at commit time and stay lazy.
-            for name in ("frontier", "url_seen", "segments", "content_seen"):
+            for name in ("frontier", "url_seen", "segments", "content_seen",
+                         "extracted"):
                 self._state[name] = self._state[name].localCheckpoint(eager=True)
         return m
 

@@ -59,6 +59,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # min-label propagation advances one hop per round (O(diameter));
+        # exiting with changes pending would silently return wrong
+        # component ids on long-chain graphs — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (graph diameter exceeds it)"
+        )
     return labels
 
 

@@ -73,6 +73,7 @@ def ngram_jaccard_pairs(
     n: int = 4,
     threshold: float = 0.9,
     sample_mod: int = 1,
+    df_cap: int | None = 10_000,
 ) -> DataFrame:
     """Pairs (id_a < id_b, jaccard) with sketch Jaccard ≥ threshold over
     word n-gram shingles (shingles.clj:28-43 semantics, distributed).
@@ -80,6 +81,14 @@ def ngram_jaccard_pairs(
     sample_mod > 1 keeps only shingles with hash % sample_mod == 0
     (deterministic bottom-sketch) — the scale knob that bounds the
     explode-join at 100 TB; sample_mod=1 is the exact reference semantics.
+
+    df_cap drops shingles shared by more than df_cap documents BEFORE the
+    self-join (standard hot-shingle guard): one boilerplate shingle on
+    10⁶ docs would otherwise contribute 10¹² join rows — quadratic in the
+    hottest key, unbounded by sample_mod. Such shingles are navigation
+    chrome, not content evidence; Jaccard is then over the capped shingle
+    universe (sizes computed after the cap, so the metric stays a true
+    Jaccard of the surviving sets). None = exact reference semantics.
     """
     sh = (
         df.select(F.col(id_col).alias("id"), F.explode(shingles_col(F.col(text_col), n)).alias("sh"))
@@ -89,6 +98,16 @@ def ngram_jaccard_pairs(
     )
     if sample_mod > 1:
         sh = sh.filter(F.pmod(F.col("sh_hash"), F.lit(sample_mod)) == 0)
+    if df_cap is not None:
+        # the hot set is tiny by construction (few shingles exceed the
+        # cap) → broadcast anti-join, no extra shuffle of sh
+        hot = (
+            sh.groupBy("sh_hash")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("sh_hash")
+        )
+        sh = sh.join(F.broadcast(hot), "sh_hash", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "sh_hash")
     b = sh.select(F.col("id").alias("id_b"), "sh_hash")
@@ -155,7 +174,14 @@ def minhash_lsh_pairs(
         sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
         .groupBy("id", "band")
         .agg(F.sort_array(F.collect_list(F.struct("hash_idx", "minhash"))).alias("s"))
-        .withColumn("band_sig", F.md5(F.to_json(F.col("s"))))
+        # join key: '-'-joined minhashes in hash_idx order — unambiguous
+        # for ints and cheaper than serializing the struct array to JSON
+        .withColumn(
+            "band_sig",
+            F.concat_ws(
+                "-", F.transform(F.col("s"), lambda s: s["minhash"].cast("string"))
+            ),
+        )
         .select("id", "band", "band_sig")
     )
     cand = (

@@ -205,6 +205,93 @@ def char_freq_cosine_consec(df: DataFrame, text_col: str, id_col: str) -> DataFr
     )
 
 
+def ivf_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    seed: int = 42,
+):
+    """IVF coarse quantizer with REAL learned centroids:
+    ``pyspark.ml.clustering.KMeans`` (fixed seed → deterministic given
+    the same input). Returns (centroids, assignments) where centroids is
+    a plain list of n_cells vectors (the tiny model artifact that gets
+    broadcast for probing) and assignments is (id, cell).
+
+    Scale shape: k-means over a sampled fraction is standard at 10⁹+
+    vectors (fit cost is per-iteration linear scans); the assignment is
+    one map-side pass, and search then prunes to n_probe cells — the
+    partition-pruned ANN the deterministic ``ivf_assign`` stub stood in
+    for in round 1."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    va = df.select(
+        F.col(id_col).alias("id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_cells, seed=seed).fit(va)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    assign = model.transform(va).select("id", F.col("prediction").alias("cell"))
+    return centroids, assign
+
+
+def _sq_dist_to(vec, centroid: list):
+    cen = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, cen, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: corpus partitioned by learned centroid cell; each query
+    probes only its n_probe nearest cells, then exact cosine ranks the
+    candidates. The query→cells fan-out is pure column math over the
+    broadcast centroid list (no model object on the executors); the
+    candidate join is an equi-join on cell."""
+    centroids, assign = ivf_fit(df, vec_col, id_col, n_cells, seed)
+    corpus = df.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).cast("array<double>").alias("n_vec")
+    ).join(assign.withColumnRenamed("id", "n_id"), "n_id")
+
+    qv = F.col(vec_col).cast("array<double>")
+    dists = F.array(
+        *[
+            F.struct(
+                _sq_dist_to(qv, c).alias("d"), F.lit(i).alias("cell")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probed = queries.select(
+        F.col(id_col).alias("q_id"),
+        qv.alias("q_vec"),
+        F.explode(F.slice(F.array_sort(dists), 1, n_probe)).alias("pc"),
+    ).select("q_id", "q_vec", F.col("pc.cell").alias("cell"))
+    scored = (
+        corpus.join(F.broadcast(probed), "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
 def ivf_assign(df: DataFrame, vec_col: str, id_col: str, n_cells: int = 16) -> DataFrame:
     """IVF coarse assignment with deterministic pseudo-centroids (same
     integer hyperplane trick, one 'centroid' per cell = unit direction):

@@ -72,7 +72,12 @@ def crawl_oracle(
         return re.sub(r"\s+", " ", s).strip()
 
     corpus = gen_all(cfg)
-    by_url = {r["url"]: r for r in corpus.to_dict("records")}
+    records = corpus.to_dict("records")
+    by_url = {r["url"]: r for r in records}
+    # S3 redirect closure: alias → page; fetching an alias returns the
+    # canonical page, inserts its url into seen, and re-fetches of an
+    # already-extracted page are cache hits (no re-extraction)
+    by_alias = {a: r for r in records for a in (r.get("aliases") or [])}
     delay = {r["host"]: r["crawl_delay_ms"] for r in robots}
     disallow = {r["host"]: r["disallow_prefixes"] for r in robots}
 
@@ -93,6 +98,7 @@ def crawl_oracle(
     leaves_total = 0
     neardups_total = 0
     content_seen: set = set()
+    extracted: set = set()
     for epoch in range(max_epochs):
         if not frontier or (max_pages is not None and dequeue_seq >= max_pages):
             break
@@ -138,7 +144,7 @@ def crawl_oracle(
             res.metrics.append(
                 dict(epoch=epoch, urls_scheduled=0, pages_fetched=0, links_extracted=0,
                      links_enqueued=0, dups_dropped=0, disallowed_dropped=disallowed,
-                     leaves_fetched=0)
+                     leaves_fetched=0, neardup_fetched=0)
             )
             res.epochs_run = epoch + 1
             if not frontier:
@@ -150,10 +156,17 @@ def crawl_oracle(
         for entry in selected:  # already in ascending insertion_seq order
             res.crawl_order.append((dequeue_seq, entry["url"], epoch, entry["host"]))
             dequeue_seq += 1
-            page = by_url.get(entry["url"])
+            page = by_url.get(entry["url"]) or by_alias.get(entry["url"])
             if page is None:
                 continue
             fetched_ct += 1
+            if entry["url"] != page["url"]:
+                # redirect followed: closure inserts the canonical url —
+                # BEFORE this page's (and any later page's) links resolve
+                res.url_seen.add(page["url"])
+            if page["url"] in extracted:
+                continue  # redirect cache hit: fetched, not re-extracted
+            extracted.add(page["url"])
             if page["is_leaf"]:
                 leaves_ct += 1
             if track_content_dups:

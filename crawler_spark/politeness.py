@@ -53,7 +53,9 @@ def robots_filter(frontier: DataFrame, robots: DataFrame) -> tuple:
     )
 
 
-def dequeue(allowed: DataFrame, robots: DataFrame, epoch_ms: int) -> tuple:
+def dequeue(
+    allowed: DataFrame, robots: DataFrame, epoch_ms: int, n_salts: int = 16
+) -> tuple:
     """(selected, rest): per-host quota window over the allowed pending
     rows. ``selected`` keeps frontier columns; global dequeue order is
     ascending insertion_seq (assigned upstream, unique).
@@ -62,7 +64,17 @@ def dequeue(allowed: DataFrame, robots: DataFrame, epoch_ms: int) -> tuple:
     ``crawl.clj:262-263, 433-456``): content rows always outrank paging
     rows — a host spends quota on its ``paging`` queue only in epochs
     where it has NO pending content rows (the batch analog of "promote a
-    paging entry when the content queue drains")."""
+    paging entry when the content queue drains").
+
+    Mega-host guard: a naive per-host ``row_number`` window sorts the
+    host's ENTIRE backlog in one task — a host with 10⁹ pending rows at
+    10^10-frontier scale is a single-task sort. Selection is therefore
+    two-phase salted top-k, which is EXACT (the global top-q rows of a
+    host are each within the top-q of their salt partition — pigeonhole):
+    phase 1 ranks within (host, salt) and keeps ≤ quota rows per salt,
+    bounding any task's sort to backlog/n_salts and the phase-2 input to
+    n_salts·quota rows per host; phase 2 re-ranks that small survivor set
+    exactly. Rows pruned in phase 1 are provably unselected → rest."""
     content = allowed.filter(F.col("queue") == "content")
     paging = allowed.filter(F.col("queue") == "paging")
     hosts_with_content = content.select("host").distinct()
@@ -82,16 +94,30 @@ def dequeue(allowed: DataFrame, robots: DataFrame, epoch_ms: int) -> tuple:
         F.col("queue") == "paging",
         -F.length(F.coalesce(F.col("src_xpath"), F.lit(""))),
     ).otherwise(F.lit(0))
-    w = Window.partitionBy("host").orderBy(depth_key.asc(), F.col("insertion_seq").asc())
-    ranked = (
-        pool.join(F.broadcast(robots.select("host", "crawl_delay_ms")), "host", "left")
-        .withColumn("__rn", F.row_number().over(w))
-        .withColumn("__quota", quota)
+    helpers = ["__rn1", "__rn", "__quota", "__salt", "crawl_delay_ms"]
+    pooled = pool.join(
+        F.broadcast(robots.select("host", "crawl_delay_ms")), "host", "left"
+    ).withColumn("__quota", quota)
+    # phase 1: prune within (host, salt) — insertion_seq is unique, so the
+    # salt spreads any one host's backlog across n_salts tasks
+    w1 = Window.partitionBy("host", "__salt").orderBy(
+        depth_key.asc(), F.col("insertion_seq").asc()
     )
-    selected = ranked.filter(F.col("__rn") <= F.col("__quota")).drop(
-        "__rn", "__quota", "crawl_delay_ms"
+    phase1 = pooled.withColumn(
+        "__salt", F.pmod(F.col("insertion_seq"), F.lit(n_salts))
+    ).withColumn("__rn1", F.row_number().over(w1))
+    survivors = phase1.filter(F.col("__rn1") <= F.col("__quota"))
+    pruned = phase1.filter(F.col("__rn1") > F.col("__quota"))
+    # phase 2: exact rank over ≤ n_salts·quota survivors per host
+    w2 = Window.partitionBy("host").orderBy(
+        depth_key.asc(), F.col("insertion_seq").asc()
     )
-    rest = ranked.filter(F.col("__rn") > F.col("__quota")).drop(
-        "__rn", "__quota", "crawl_delay_ms"
-    ).unionByName(paging_blocked)
+    ranked = survivors.withColumn("__rn", F.row_number().over(w2))
+    selected = ranked.filter(F.col("__rn") <= F.col("__quota")).drop(*helpers)
+    rest = (
+        ranked.filter(F.col("__rn") > F.col("__quota"))
+        .drop(*helpers)
+        .unionByName(pruned.drop(*helpers))
+        .unionByName(paging_blocked)
+    )
     return selected, rest

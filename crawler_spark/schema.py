@@ -37,6 +37,11 @@ CORPUS_SCHEMA = T.StructType(
         T.StructField("host", T.StringType(), False),
         T.StructField("out_links", T.ArrayType(LINK_TYPE), False),
         T.StructField("is_leaf", T.BooleanType(), False),
+        # redirect aliases (S3): alternate URLs that 301 to this page —
+        # fetching an alias returns this row, and redirect closure
+        # inserts the canonical url into url_seen (crawl.clj:1054-1060,
+        # utils.clj:210-227)
+        T.StructField("aliases", T.ArrayType(T.StringType()), True),
     ]
 )
 
@@ -105,6 +110,11 @@ METRICS_SCHEMA = T.StructType(
 CONTENT_SEEN_SCHEMA = T.StructType(
     [T.StructField("caption_hash", T.LongType(), False)]
 )
+
+# Canonical page urls whose content has been extracted — the redirect
+# cache (S3): a later fetch that resolves to an already-extracted page is
+# a cache hit (fetch counted, no re-extraction).
+EXTRACTED_SCHEMA = T.StructType([T.StructField("url", T.StringType(), False)])
 
 # Per-partition lineage: which seen-bucket each epoch touched and how much
 # (north_rule: "per-partition lineage + metrics").

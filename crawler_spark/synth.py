@@ -66,6 +66,9 @@ class SynthConfig:
     with_images: bool = True
     link_max: int = 12
     n_path_buckets: int = 8
+    # S3 redirect closure: ~1/5 pages get an /alias/ URL that 301s to
+    # them, and ~1/3 of links targeting such pages use the alias href
+    with_aliases: bool = False
 
     @property
     def host_bounds(self) -> np.ndarray:
@@ -228,6 +231,13 @@ def gen_batch(cfg: SynthConfig, idx: np.ndarray) -> pd.DataFrame:
                     href = f"http://host{t_host}.test{t_path}#x&amp;y"
                 else:
                     href = f"http://host{t_host}.test{t_path}"
+                if (
+                    cfg.with_aliases
+                    and (rl >> 44) % 3 == 0
+                    and int(_r(cfg, np.array([t], dtype=np.int64), 14)[0]) % 5 == 0
+                ):
+                    # target the page's redirect alias instead
+                    href = f"http://host{t_host}.test/alias/{tid}"
             text = str((rl >> 28) % 20 + 1) if (rl >> 24) % 6 == 0 else str(
                 vocab[(rl >> 12) % 512]
             )
@@ -243,6 +253,15 @@ def gen_batch(cfg: SynthConfig, idx: np.ndarray) -> pd.DataFrame:
 
     is_leaf = (_r(cfg, idx, 13) % np.uint64(3) == 0).tolist()
 
+    if cfg.with_aliases:
+        has_alias = (_r(cfg, idx, 14) % np.uint64(5) == 0)
+        aliases = [
+            [f"http://host{int(hosts[j])}.test/alias/{ids[j]}"] if has_alias[j] else []
+            for j in range(n)
+        ]
+    else:
+        aliases = [[] for _ in range(n)]
+
     return pd.DataFrame(
         {
             "image_id": ids,
@@ -256,6 +275,7 @@ def gen_batch(cfg: SynthConfig, idx: np.ndarray) -> pd.DataFrame:
             "host": [f"host{ho}.test" for ho in hosts],
             "out_links": all_links,
             "is_leaf": is_leaf,
+            "aliases": aliases,
         }
     )
 
@@ -272,7 +292,10 @@ def corpus_df(spark, cfg: SynthConfig, num_partitions: int | None = None):
             if len(pdf):
                 yield gen_batch(cfg, pdf["id"].to_numpy())
 
-    return rng.mapInPandas(gen, CORPUS_SCHEMA)
+    out = rng.mapInPandas(gen, CORPUS_SCHEMA)
+    # column presence signals the engine's redirect-resolution path; an
+    # alias-free corpus must not pay for it (no probe scan either)
+    return out if cfg.with_aliases else out.drop("aliases")
 
 
 def gen_all(cfg: SynthConfig) -> pd.DataFrame:

@@ -187,3 +187,37 @@ def test_politeness_quota_respected(spark, web, tmp_path):
         per_epoch_host[(r.epoch, r.host)] += 1
     for (epoch, host), n in per_epoch_host.items():
         assert n <= max(1, 8000 // delays[host]), (epoch, host, n)
+
+
+def test_parity_with_redirect_aliases(spark, tmp_path):
+    """S3 redirect closure: with ~1/5 pages behind /alias/ URLs and ~1/3
+    of links targeting aliases, the engine must still match the oracle
+    exactly — closure inserts the canonical url into seen at fetch time,
+    and a fetch resolving to an already-extracted page is a cache hit
+    (fetched but not re-extracted)."""
+    cfg = SynthConfig(n_pages=500, n_hosts=10, with_images=False, with_aliases=True)
+    corpus = corpus_df(spark, cfg).persist()
+    corpus.count()
+    robots = spark.createDataFrame(robots_rows(cfg), ROBOTS_SCHEMA)
+    oracle, eng = _run_both(
+        spark, cfg, corpus, robots, True, tmp_path / "ck_alias", max_epochs=5
+    )
+    got_order = [(r.seq, r.url, r.epoch) for r in eng.crawl_order.collect()]
+    want_order = [(s, u, e) for (s, u, e, _h) in oracle.crawl_order]
+    assert got_order == want_order
+    got_seen = {r.url for r in eng.url_seen.collect()}
+    assert got_seen == oracle.url_seen
+    # the scenario must be non-vacuous: some aliases actually crawled,
+    # some closure inserts actually happened
+    alias_fetches = [u for (_s, u, _e) in got_order if "/alias/" in u]
+    assert alias_fetches, "no alias URL was ever scheduled — test is vacuous"
+    assert any(
+        "/alias/" not in u and u in oracle.url_seen for u in oracle.url_seen
+    )
+    fields = ["urls_scheduled", "pages_fetched", "links_extracted", "links_enqueued",
+              "dups_dropped", "disallowed_dropped", "leaves_fetched", "neardup_fetched"]
+    got_metrics = [tuple([r.epoch] + [getattr(r, f) for f in fields])
+                   for r in eng.metrics.collect()]
+    want_metrics = [tuple([m["epoch"]] + [m[f] for f in fields]) for m in oracle.metrics]
+    assert got_metrics == want_metrics
+    corpus.unpersist()

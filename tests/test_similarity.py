@@ -67,3 +67,21 @@ def test_ivf_assign_partitions(planted):
     assert all(0 <= c < 4 for c in cells.values())
     # near-identical vectors land in the same cell
     assert cells[1] == cells[2]
+
+
+def test_ivf_kmeans_fit_and_topk_recall(spark):
+    """Real learned-centroid IVF: cells are non-trivial, assignment is
+    deterministic under the fixed seed, and n_probe-cell search recovers
+    a substantial share of the exact top-3."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents, assign = similarity.ivf_fit(emb, n_cells=8, seed=42)
+    assert len(cents) == 8
+    cells = assign.groupBy("cell").count().collect()
+    assert len(cells) >= 4  # k-means actually split the space
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, q, k=3)
+    approx = similarity.ivf_topk(emb, q, k=3, n_cells=8, n_probe=3, seed=42)
+    assert_no_cartesian(approx)
+    e = {(r.q_id, r.n_id) for r in exact.collect()}
+    a = {(r.q_id, r.n_id) for r in approx.collect()}
+    assert len(a & e) >= len(e) * 0.3, (len(a & e), len(e))

@@ -51,3 +51,29 @@ def test_politeness_under_heavy_host_skew(spark):
     )
     assert hot_sel == list(range(10))
     assert rest.count() == n_hot + n_cold_hosts - len(per_host) * 0 - selected.count()
+
+
+def test_mega_host_single_backlog(spark):
+    """10⁶ pending rows on ONE host (3 orders beyond the skew test): the
+    two-phase salted top-k must still pick exactly the quota-many
+    smallest insertion_seqs, with no task ever sorting the full backlog
+    (phase 1 partitions by (host, salt))."""
+    n = 1_000_000
+    frontier = spark.range(n).select(
+        F.concat(F.lit("http://mega.test/p/"), F.col("id")).alias("url"),
+        F.xxhash64("id").alias("url_hash"),
+        F.lit("mega.test").alias("host"),
+        F.lit(None).cast("string").alias("src_url"),
+        F.lit(None).cast("string").alias("src_text"),
+        F.lit(None).cast("string").alias("src_xpath"),
+        F.lit(0).alias("epoch_added"),
+        # non-contiguous, shuffled-looking seqs: selection must be by
+        # rank, not by any "min + c·quota" shortcut
+        (F.col("id") * 7 % n).alias("insertion_seq"),
+        F.lit("content").alias("queue"),
+    )
+    robots = spark.createDataFrame([("mega.test", [], 500)], ROBOTS_SCHEMA)
+    selected, rest = dequeue(frontier, robots, epoch_ms=10_000, n_salts=16)
+    got = sorted(r.insertion_seq for r in selected.collect())
+    assert got == list(range(20))  # quota = 10000/500 = 20, exact FIFO
+    assert rest.count() == n - 20
