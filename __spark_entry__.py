@@ -766,6 +766,27 @@ def q_crawl_epoch(spark, sf_dir):
     return eng.crawl_order
 
 
+def q_rtdm_consec(spark, sf_dir):
+    """C3 RTDM structural similarity of consecutive pages, ORACLED: each
+    doc renders to html>body>[div>a]×n with n = 2 + doc_id % 4, so the
+    restricted top-down distance between docs i and i+1 is exactly
+    2·|n_i − n_{i+1}| (delete/insert the surplus div subtrees, size 2
+    each) over descendant total 4 + 2n_i + 2n_{i+1} — a closed form
+    DuckDB states directly; the tree DP must reproduce it."""
+    from crawler_spark.operators.treedist import rtdm_consec_pairs
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    n = F.lit(2) + F.col("doc_id") % 4
+    html = F.concat(
+        F.lit("<html><body>"),
+        F.repeat(F.lit("<div><a>x</a></div>"), n.cast("int")),
+        F.lit("</body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    out = rtdm_consec_pairs(pages, "html", "doc_id")
+    return out.select("id", F.round("rtdm", 4).alias("rtdm"))
+
+
 def q_crawl_epoch_oracle(spark, sf_dir):
     """One scheduling epoch, DRIVER-ORACLED (VERDICT r1 item 9): robots
     filter → the REAL politeness.dequeue (two-phase salted quota window)
@@ -890,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extract": q_link_extract,
         "html_extract": q_html_extract,
         "crawl_epoch_oracle": q_crawl_epoch_oracle,
+        "rtdm_consec": q_rtdm_consec,
         "url_seen_antijoin": q_url_seen_antijoin,
         "politeness_quota": q_politeness_quota,
         "host_page_counts": q_host_page_counts,
@@ -1361,6 +1383,16 @@ def oracle_sql() -> dict[str, str]:
                    true AS nofollow
             FROM d)
         SELECT * FROM items UNION ALL SELECT * FROM skips
+    """
+    # rtdm_consec: the tree DP's result on the closed-form page family,
+    # stated directly (see q_rtdm_consec docstring for the derivation)
+    sqls["rtdm_consec"] = """
+        WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS n FROM documents
+                   WHERE doc_id < 300)
+        SELECT a.doc_id AS id,
+               round(1.0 - 2.0 * abs(a.n - b.n)
+                     / (4.0 + 2.0 * a.n + 2.0 * b.n), 4) AS rtdm
+        FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
     """
     # crawl_epoch_oracle: one epoch of the engine's operator chain —
     # robots disallow, per-host quota = 20000 // (1000·(1+h%3)) FIFO

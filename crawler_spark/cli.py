@@ -47,6 +47,28 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--synth-hosts", type=int, default=20)
     m.add_argument("--out", required=True, help="output path for the model JSON")
     m.add_argument("--master", default=None)
+
+    e = sub.add_parser(
+        "execute-model",
+        help="model-driven harvest (reference execute-model, "
+             "main.clj:198-239): follow only the learned model's xpaths, "
+             "chase its pagination xpaths, stop at the leaf budget",
+    )
+    e.add_argument("--model", required=True, help="model JSON from learn-model")
+    e.add_argument("--seeds", required=True, help="text file, one URL per line")
+    e.add_argument("--corpus", help="parquet corpus (omit → synthetic)")
+    e.add_argument("--synth-pages", type=int, default=2000)
+    e.add_argument("--synth-hosts", type=int, default=20)
+    e.add_argument("--robots", help="parquet robots rules")
+    e.add_argument("--checkpoint", required=True)
+    e.add_argument("--epochs", type=int, default=10)
+    e.add_argument("--epoch-ms", type=int, default=30_000)
+    e.add_argument("--top-actions", type=int, default=3,
+                   help="how many top-ranked model xpaths to follow")
+    e.add_argument("--harvest-budget", type=int, default=300,
+                   help="stop once this many leaf pages harvested "
+                        "(reference --num-leaves)")
+    e.add_argument("--master", default=None)
     return p
 
 
@@ -158,12 +180,79 @@ def cmd_learn_model(args) -> int:
     return 0
 
 
+def cmd_execute_model(args) -> int:
+    """E3: the dual-queue plan executor — consume a learned model, follow
+    only its ranked xpath actions (W4 plan ordering = freq desc, xpath
+    asc tie-break), chase its pagination xpaths through the paging queue,
+    decrement the leaf budget (crawl.clj:246-530, execute.clj:10-58)."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.engine import CrawlEngine, EngineConfig
+    from crawler_spark.schema import ROBOTS_SCHEMA
+    from crawler_spark.sources import read_seed_list
+    from crawler_spark.synth import SynthConfig, corpus_df, robots_rows
+
+    spark, owned = _session(args.master)
+    with open(args.model) as f:
+        model = json.load(f)
+    ranked = sorted(
+        model["leaf_xpath_freqs"], key=lambda r: (-r["freq"], r["xpath"])
+    )
+    actions = tuple(r["xpath"] for r in ranked[: args.top_actions])
+    paging = tuple(
+        r["src_xpath"] for r in model.get("pagination_xpaths", [])
+        if r.get("src_xpath")
+    )
+    if args.corpus:
+        corpus = spark.read.parquet(args.corpus)
+    else:
+        corpus = corpus_df(
+            spark, SynthConfig(n_pages=args.synth_pages, n_hosts=args.synth_hosts,
+                               with_images=False)
+        )
+    if args.robots:
+        robots = spark.read.parquet(args.robots)
+    else:
+        robots = spark.createDataFrame(
+            robots_rows(SynthConfig(n_pages=args.synth_pages, n_hosts=args.synth_hosts)),
+            ROBOTS_SCHEMA,
+        )
+    cfg = EngineConfig(
+        max_epochs=args.epochs,
+        epoch_ms=args.epoch_ms,
+        leaf_limit=args.harvest_budget,
+        checkpoint_dir=args.checkpoint,
+        model_xpaths=actions,
+        paging_xpaths=paging,
+    )
+    eng = CrawlEngine(spark, corpus, robots, cfg)
+    seeds = [r.url for r in read_seed_list(spark, args.seeds).orderBy("ord").collect()]
+    manifest = eng.run(seeds)
+    harvested = (
+        corpus.join(F.broadcast(eng.crawl_order.select("url")), "url", "left_semi")
+        .filter(F.col("is_leaf"))
+        .count()
+    )
+    print(json.dumps({
+        "manifest": manifest,
+        "actions": list(actions),
+        "paging_xpaths": list(paging),
+        "harvested_leaves": harvested,
+        "metrics": [r.asDict() for r in eng.metrics.collect()],
+    }, default=str))
+    if owned:
+        spark.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.cmd == "crawl":
         return cmd_crawl(args)
     if args.cmd == "learn-model":
         return cmd_learn_model(args)
+    if args.cmd == "execute-model":
+        return cmd_execute_model(args)
     return 2
 
 

@@ -87,6 +87,16 @@ class EngineConfig:
     # (batch analog of the 30-consecutive-dup + corpus-cap rule)
     track_content_dups: bool = False
     content_dup_stop: int | None = None
+    # E3 model-driven harvest (reference execute-model automaton,
+    # crawl.clj:246-530, execute.clj:10-58, main.clj:198-239): when
+    # model_xpaths is set, only links whose xpath is in it are followed
+    # as content; digit-anchored links are chased as pagination only for
+    # xpaths in paging_xpaths. Model-inapplicable links are dropped right
+    # after the same-host filter (before the seen check — they are not
+    # dups, they are outside the plan). Combine with leaf_limit for the
+    # reference's harvest budget (--num-leaves).
+    model_xpaths: tuple | None = None
+    paging_xpaths: tuple = ()
 
 
 _STATE_TABLES = (
@@ -384,9 +394,20 @@ class CrawlEngine:
                 fresh_hashes
             )
 
-        cand_all = extract_candidates(extract_input, dedup=False).withColumn(
-            "url_hash", F.xxhash64("url")
-        ).withColumn("partition_id", bucket_expr(F.col("url_hash"), cfg.n_seen_buckets))
+        cand_all = extract_candidates(extract_input, dedup=False)
+        if cfg.model_xpaths is not None:
+            # harvest mode: the learned model decides which links exist
+            is_digit = F.col("src_text").rlike("^[0-9]+$")
+            keep_paging = is_digit & F.col("src_xpath").isin(list(cfg.paging_xpaths))
+            keep_content = ~keep_paging & F.col("src_xpath").isin(
+                list(cfg.model_xpaths)
+            )
+            cand_all = cand_all.filter(keep_paging | keep_content).withColumn(
+                "queue", F.when(keep_paging, F.lit("paging")).otherwise(F.lit("content"))
+            )
+        cand_all = cand_all.withColumn("url_hash", F.xxhash64("url")).withColumn(
+            "partition_id", bucket_expr(F.col("url_hash"), cfg.n_seen_buckets)
+        )
         cand_all.persist()
         # oracle's dups_dropped counts every non-enqueued same-host
         # occurrence, so count BEFORE within-batch dedup

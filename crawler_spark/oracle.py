@@ -62,6 +62,8 @@ def crawl_oracle(
     leaf_limit: int | None = None,
     track_content_dups: bool = False,
     content_dup_stop: int | None = None,
+    model_xpaths: set | None = None,
+    paging_xpaths: set = frozenset(),
 ) -> OracleResult:
     import re
 
@@ -185,11 +187,21 @@ def crawl_oracle(
                 links_ct += 1
                 if host_of(cu) != page["host"]:  # same-host predicate
                     continue
+                is_digit = bool(re.match("^[0-9]+$", link["text"] or ""))
+                if model_xpaths is not None:
+                    # E3 harvest: model-inapplicable links are dropped
+                    # after same-host, before the seen check (not dups —
+                    # outside the plan)
+                    is_paging = is_digit and link["xpath"] in paging_xpaths
+                    if not is_paging and link["xpath"] not in model_xpaths:
+                        continue
+                    queue = "paging" if is_paging else "content"
+                else:
+                    queue = "paging" if is_digit else "content"
                 if cu in res.url_seen:
                     dups_ct += 1
                     continue
                 res.url_seen.add(cu)
-                queue = "paging" if re.match("^[0-9]+$", link["text"] or "") else "content"
                 new_entries.append(
                     {"url": cu, "host": host_of(cu), "insertion_seq": next_seq,
                      "queue": queue, "src_xpath": link["xpath"]}

@@ -67,3 +67,83 @@ def test_cli_crawl_and_model(spark, tmp_path, capsys):
     assert len(model["leaf_xpath_freqs"]) > 0
     freqs = [x["freq"] for x in model["leaf_xpath_freqs"]]
     assert freqs == sorted(freqs, reverse=True)
+
+
+def test_cli_execute_model(spark, tmp_path, capsys):
+    """crawl → learn-model → execute-model end-to-end: the harvest run
+    follows only the model's xpath actions and stops at the leaf budget."""
+    seeds_file = tmp_path / "seeds.txt"
+    seeds_file.write_text("http://host0.test/p/0/img-42-00000000\n")
+    ck = tmp_path / "ck"
+    assert cli.main([
+        "crawl", "--seeds", str(seeds_file), "--checkpoint", str(ck),
+        "--synth-pages", "300", "--synth-hosts", "10",
+        "--epochs", "3", "--epoch-ms", "8000",
+    ]) == 0
+    capsys.readouterr()
+    model_path = tmp_path / "model.json"
+    assert cli.main([
+        "learn-model", "--checkpoint", str(ck),
+        "--synth-pages", "300", "--synth-hosts", "10",
+        "--out", str(model_path),
+    ]) == 0
+    capsys.readouterr()
+    ck2 = tmp_path / "ck2"
+    assert cli.main([
+        "execute-model", "--model", str(model_path),
+        "--seeds", str(seeds_file), "--checkpoint", str(ck2),
+        "--synth-pages", "300", "--synth-hosts", "10",
+        "--epochs", "4", "--epoch-ms", "8000",
+        "--top-actions", "2", "--harvest-budget", "20",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["actions"]) == 2
+    assert out["harvested_leaves"] >= 0
+    assert out["manifest"]["dequeue_seq"] > 0
+
+
+def test_execute_model_parity(spark, tmp_path):
+    """The harvest automaton must match the sequential oracle exactly
+    under the same model (actions + pagination xpaths) and leaf budget."""
+    from crawler_spark.engine import CrawlEngine, EngineConfig
+    from crawler_spark.oracle import crawl_oracle
+    from crawler_spark.schema import ROBOTS_SCHEMA
+    from crawler_spark.synth import (
+        XPATHS, SynthConfig, corpus_df, robots_rows, seed_urls,
+    )
+
+    cfg = SynthConfig(n_pages=400, n_hosts=8, with_images=False)
+    corpus = corpus_df(spark, cfg).persist()
+    corpus.count()
+    robots = spark.createDataFrame(robots_rows(cfg), ROBOTS_SCHEMA)
+    seeds = seed_urls(cfg, 4)
+    actions = tuple(XPATHS[:3])
+    paging = tuple(XPATHS[3:5])
+    eng = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=4, epoch_ms=8000, leaf_limit=60,
+                     checkpoint_dir=str(tmp_path / "ck"),
+                     model_xpaths=actions, paging_xpaths=paging),
+    )
+    eng.run(seeds)
+    oracle = crawl_oracle(
+        cfg, seeds, robots_rows(cfg), max_epochs=4, epoch_ms=8000,
+        leaf_limit=60, model_xpaths=set(actions), paging_xpaths=set(paging),
+    )
+    got = [(r.seq, r.url, r.epoch) for r in eng.crawl_order.collect()]
+    want = [(s, u, e) for (s, u, e, _h) in oracle.crawl_order]
+    assert len(got) > 10, "harvest should actually expand"
+    assert got == want
+    assert {r.url for r in eng.url_seen.collect()} == oracle.url_seen
+    fields = ["urls_scheduled", "pages_fetched", "links_extracted",
+              "links_enqueued", "dups_dropped", "disallowed_dropped",
+              "leaves_fetched", "neardup_fetched"]
+    got_m = [tuple([r.epoch] + [getattr(r, f) for f in fields])
+             for r in eng.metrics.collect()]
+    want_m = [tuple([m["epoch"]] + [m[f] for f in fields]) for m in oracle.metrics]
+    assert got_m == want_m
+    # the model must actually bite: an unrestricted crawl enqueues more
+    unrestricted = crawl_oracle(cfg, seeds, robots_rows(cfg), max_epochs=4,
+                                epoch_ms=8000)
+    assert len(oracle.url_seen) < len(unrestricted.url_seen)
+    corpus.unpersist()
