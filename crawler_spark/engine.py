@@ -97,6 +97,11 @@ class EngineConfig:
     # reference's harvest budget (--num-leaves).
     model_xpaths: tuple | None = None
     paging_xpaths: tuple = ()
+    # seen-probe strategy switch: below this many seen rows the plain
+    # shuffle anti-join is cheaper (two broadcast builds per epoch cost
+    # more than shuffling a small table); above it the scan-only
+    # broadcast-probe path avoids ever shuffling the 10^10-row seen table
+    scan_only_seen_rows: int = 20_000_000
 
 
 _STATE_TABLES = (
@@ -288,7 +293,10 @@ class CrawlEngine:
         ).first()
         n_pending, n_disallowed = prow["n"], prow["d"]
         allowed = flagged.filter(~F.col("__disallowed")).drop("__disallowed")
-        selected_raw, rest = politeness.dequeue(allowed, self.robots, cfg.epoch_ms)
+        selected_raw, rest = politeness.dequeue(
+            allowed, self.robots, cfg.epoch_ms,
+            approx_rows=n_pending - n_disallowed,
+        )
         selected_raw.persist()
         n_selected = selected_raw.count()
         if n_selected == 0:
@@ -444,11 +452,13 @@ class CrawlEngine:
                 "left_anti",
             )
 
+        scan_only = next_seq > cfg.scan_only_seen_rows
         survivors_raw = anti_join_seen(
             candidates,
             self._state["url_seen"],
             self._state["segments"] if cfg.use_bloom else None,
             cfg.bloom_m_bits,
+            broadcast_probe=scan_only,
         )
         survivors_raw.persist()
         n_new = survivors_raw.count()
@@ -480,6 +490,7 @@ class CrawlEngine:
                 self._state["url_seen"],
                 self._state["segments"] if cfg.use_bloom else None,
                 cfg.bloom_m_bits,
+                broadcast_probe=scan_only,
             ).join(new_seen.select("url"), "url", "left_anti")
             new_seen = new_seen.unionByName(
                 closure_new.select("partition_id", "url_hash", "url")

@@ -99,15 +99,15 @@ def ngram_jaccard_pairs(
     if sample_mod > 1:
         sh = sh.filter(F.pmod(F.col("sh_hash"), F.lit(sample_mod)) == 0)
     if df_cap is not None:
-        # the hot set is tiny by construction (few shingles exceed the
-        # cap) → broadcast anti-join, no extra shuffle of sh
-        hot = (
-            sh.groupBy("sh_hash")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > df_cap)
-            .select("sh_hash")
-        )
-        sh = sh.join(F.broadcast(hot), "sh_hash", "left_anti")
+        # document-frequency cap as a WINDOW over sh_hash: the count
+        # rides the same hash(sh_hash) exchange the self-join below
+        # needs, so the cap costs a sort, not an extra aggregation pass
+        # over every shingle (a separate groupBy+anti-join doubled the
+        # operator's wall time when no shingle was actually hot)
+        w_df = Window.partitionBy("sh_hash")
+        sh = sh.withColumn("__df", F.count("*").over(w_df)).filter(
+            F.col("__df") <= df_cap
+        ).drop("__df")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "sh_hash")
     b = sh.select(F.col("id").alias("id_b"), "sh_hash")

@@ -54,7 +54,12 @@ def robots_filter(frontier: DataFrame, robots: DataFrame) -> tuple:
 
 
 def dequeue(
-    allowed: DataFrame, robots: DataFrame, epoch_ms: int, n_salts: int = 16
+    allowed: DataFrame,
+    robots: DataFrame,
+    epoch_ms: int,
+    n_salts: int = 16,
+    approx_rows: int | None = None,
+    salted_threshold: int = 2_000_000,
 ) -> tuple:
     """(selected, rest): per-host quota window over the allowed pending
     rows. ``selected`` keeps frontier columns; global dequeue order is
@@ -74,7 +79,14 @@ def dequeue(
     phase 1 ranks within (host, salt) and keeps ≤ quota rows per salt,
     bounding any task's sort to backlog/n_salts and the phase-2 input to
     n_salts·quota rows per host; phase 2 re-ranks that small survivor set
-    exactly. Rows pruned in phase 1 are provably unselected → rest."""
+    exactly. Rows pruned in phase 1 are provably unselected → rest.
+
+    Adaptive: when the caller knows the pending row count
+    (``approx_rows``) and it is under ``salted_threshold``, the direct
+    single-window path runs instead — identical selection (the salted
+    path is exact), but one exchange+sort rather than two. The fixed
+    cost of the extra phase only pays for itself when a single host's
+    backlog can exceed one task's sort budget."""
     content = allowed.filter(F.col("queue") == "content")
     paging = allowed.filter(F.col("queue") == "paging")
     hosts_with_content = content.select("host").distinct()
@@ -98,6 +110,18 @@ def dequeue(
     pooled = pool.join(
         F.broadcast(robots.select("host", "crawl_delay_ms")), "host", "left"
     ).withColumn("__quota", quota)
+    w2 = Window.partitionBy("host").orderBy(
+        depth_key.asc(), F.col("insertion_seq").asc()
+    )
+    if approx_rows is not None and approx_rows < salted_threshold:
+        # small batch: one window, same result
+        ranked = pooled.withColumn("__rn", F.row_number().over(w2))
+        selected = ranked.filter(F.col("__rn") <= F.col("__quota"))
+        rest = ranked.filter(F.col("__rn") > F.col("__quota"))
+        return (
+            selected.drop(*helpers),
+            rest.drop(*helpers).unionByName(paging_blocked),
+        )
     # phase 1: prune within (host, salt) — insertion_seq is unique, so the
     # salt spreads any one host's backlog across n_salts tasks
     w1 = Window.partitionBy("host", "__salt").orderBy(
@@ -109,9 +133,6 @@ def dequeue(
     survivors = phase1.filter(F.col("__rn1") <= F.col("__quota"))
     pruned = phase1.filter(F.col("__rn1") > F.col("__quota"))
     # phase 2: exact rank over ≤ n_salts·quota survivors per host
-    w2 = Window.partitionBy("host").orderBy(
-        depth_key.asc(), F.col("insertion_seq").asc()
-    )
     ranked = survivors.withColumn("__rn", F.row_number().over(w2))
     selected = ranked.filter(F.col("__rn") <= F.col("__quota")).drop(*helpers)
     rest = (

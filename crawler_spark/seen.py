@@ -96,22 +96,43 @@ def build_segments(
     )
 
 
+def _anti_join_scan_only(
+    probe: DataFrame, url_seen: DataFrame, broadcast_probe: bool
+) -> DataFrame:
+    """Exact anti-join shaped so the 10^10-row seen table is only ever
+    SCANNED, never shuffled: the batch-bounded probe side broadcasts into
+    a left_semi over url_seen (streaming BroadcastHashJoin → the tiny hit
+    set), then the probe anti-joins the broadcast hits. A plain
+    ``probe.join(url_seen, ..., "left_anti")`` would shuffle the ENTIRE
+    seen table every epoch — at 10^10 rows that one exchange dominates
+    the job. broadcast_probe=False falls back to the shuffle join for
+    pathological probe sizes (probe is quota-bounded in the engine, so
+    the broadcast path is the default)."""
+    keys = ["url_hash", "url"]
+    if not broadcast_probe:
+        return probe.join(url_seen.select(*keys), keys, "left_anti")
+    hits = url_seen.select(*keys).join(
+        F.broadcast(probe.select(*keys).distinct()), keys, "left_semi"
+    )
+    return probe.join(F.broadcast(hits), keys, "left_anti")
+
+
 def anti_join_seen(
     candidates: DataFrame,
     url_seen: DataFrame,
     segments: DataFrame | None,
     m_bits: int,
+    broadcast_probe: bool = True,
 ) -> DataFrame:
     """Rows of *candidates* whose url is NOT in *url_seen* (exact).
 
     candidates must carry (partition_id, url_hash, url). With segments,
-    bloom-negative rows bypass the anti-join shuffle; the exact join only
-    sees bloom positives. Without segments: plain bucketed anti-join.
+    bloom-negative rows bypass the exact membership test entirely; bloom
+    positives (true dups + false positives) go through the scan-only
+    exact join. Without segments: every candidate probes.
     """
     if segments is None:
-        return candidates.join(
-            url_seen.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
-        )
+        return _anti_join_scan_only(candidates, url_seen, broadcast_probe)
 
     from pyspark.sql import types as T
 
@@ -139,7 +160,5 @@ def anti_join_seen(
     )
     definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-    survivors = maybe.join(
-        url_seen.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
-    )
+    survivors = _anti_join_scan_only(maybe, url_seen, broadcast_probe)
     return definite_new.unionByName(survivors)
