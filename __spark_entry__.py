@@ -1384,6 +1384,42 @@ def oracle_sql() -> dict[str, str]:
             FROM d)
         SELECT * FROM items UNION ALL SELECT * FROM skips
     """
+    # lsh_ann_topk: full SQL restatement of the multi-table hyperplane
+    # blocking (2 tables × 6 planes, weight(t,p,d) = (((t*97+p)*131 +
+    # d*137) % 997) - 498) + exact cosine re-rank — upgraded from
+    # rows-only in round 1.
+    sqls["lsh_ann_topk"] = """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        dims AS (SELECT CAST(g.i AS INTEGER) AS d FROM generate_series(0, 63) g(i)),
+        tp AS (SELECT CAST(t.i AS INTEGER) AS t, CAST(p.i AS INTEGER) AS p
+               FROM generate_series(0, 1) t(i), generate_series(0, 5) p(i)),
+        proj AS (
+            SELECT e.vec_id, tp.t, tp.p,
+                   SUM(e.v[dims.d + 1]
+                       * ((((tp.t * 97 + tp.p) * 131 + dims.d * 137) % 997) - 498)) AS pr
+            FROM e, dims, tp
+            WHERE dims.d < len(e.v)
+            GROUP BY 1, 2, 3),
+        buckets AS (
+            SELECT vec_id, t,
+                   CAST(SUM(CASE WHEN pr > 0 THEN 1 << p ELSE 0 END) AS INTEGER) AS bucket
+            FROM proj GROUP BY 1, 2),
+        q AS (SELECT * FROM buckets WHERE vec_id < 10),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+            FROM q JOIN buckets c
+              ON c.t = q.t AND c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+        scored AS (
+            SELECT cand.q_id, cand.n_id, list_cosine_similarity(eq.v, en.v) AS cos
+            FROM cand JOIN e eq ON eq.vec_id = cand.q_id
+                      JOIN e en ON en.vec_id = cand.n_id),
+        ranked AS (
+            SELECT q_id, n_id, cos,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+            FROM scored)
+        SELECT q_id, n_id, round(cos, 4) AS cosine, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 3
+    """
     # rtdm_consec: the tree DP's result on the closed-form page family,
     # stated directly (see q_rtdm_consec docstring for the derivation)
     sqls["rtdm_consec"] = """
