@@ -839,6 +839,24 @@ def q_crawl_epoch_oracle(spark, sf_dir):
     )
 
 
+def q_image_neardup(spark, sf_dir):
+    """Image near-dup END-TO-END on real binary columns: decode bytes →
+    recompute the 64-bit perceptual hash from pixels (mapInPandas) →
+    banded Hamming pair join. Rows-only for the driver (the codec is the
+    documented sandbox stand-in, not DuckDB-restatable), but
+    tests/test_multimodal.py proves the recomputed phash equals the
+    corpus-side phash column bit-for-bit and the pair set equals the
+    column-math path's — an oracle by construction."""
+    from crawler_spark.multimodal.images import phash_udf_frame
+    from crawler_spark.operators.dedup import phash_neardup_pairs
+    from crawler_spark.synth import SynthConfig, corpus_df
+
+    cfg = SynthConfig(n_pages=400, n_hosts=8, with_images=True)
+    corpus = corpus_df(spark, cfg).select("image_id", "bytes")
+    hashed = phash_udf_frame(corpus)
+    return phash_neardup_pairs(hashed, "phash2", "image_id", max_hamming=12)
+
+
 def q_image_decode_stats(spark, sf_dir):
     """Multimodal decode over binary image column (rows-only: the codec
     is the sandbox stub; plumbing is what's exercised)."""
@@ -933,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine / multimodal (rows-only)
         "crawl_epoch": q_crawl_epoch,
         "image_decode_stats": q_image_decode_stats,
+        "image_neardup": q_image_neardup,
     }
 
 

@@ -148,9 +148,14 @@ def gen_batch(cfg: SynthConfig, idx: np.ndarray) -> pd.DataFrame:
     hosts = host_of_index(cfg, idx)
     dims = np.array(cfg.dims, dtype=np.int64)
 
-    w = dims[(_r(cfg, idx, 7) % np.uint64(len(dims))).astype(np.int64)]
-    h = dims[(_r(cfg, idx, 8) % np.uint64(len(dims))).astype(np.int64)]
-    fmt = np.where(_r(cfg, idx, 9) % np.uint64(4) == 0, "png", "jpeg")
+    # ~1/37 pages are near-dups of page i-1 (same rule as captions,
+    # _caption_tokens): their image copies i-1's dims/fmt/pixels, so the
+    # phash near-dup family has real planted positives
+    dup = (_r(cfg, idx, 4) % np.uint64(37) == 0) & (idx > 0)
+    eidx = np.where(dup, idx - 1, idx)
+    w = dims[(_r(cfg, eidx, 7) % np.uint64(len(dims))).astype(np.int64)]
+    h = dims[(_r(cfg, eidx, 8) % np.uint64(len(dims))).astype(np.int64)]
+    fmt = np.where(_r(cfg, eidx, 9) % np.uint64(4) == 0, "png", "jpeg")
 
     ids = [image_id(cfg, int(i)) for i in idx]
     urls = [
@@ -167,7 +172,7 @@ def gen_batch(cfg: SynthConfig, idx: np.ndarray) -> pd.DataFrame:
         total = int(starts[-1])
         row_of = np.repeat(np.arange(n), sizes)
         local = np.arange(total, dtype=np.uint64) - starts[row_of].astype(np.uint64)
-        base = _r(cfg, idx, 10)[row_of]
+        base = _r(cfg, eidx, 10)[row_of]
         with np.errstate(over="ignore"):
             flat = (mix64_np(base + local) & np.uint64(0xFF)).astype(np.uint8)
         is_png = fmt == "png"

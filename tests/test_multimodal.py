@@ -80,3 +80,30 @@ def test_frame_sample_plumbing(spark, web):
 def test_decode_rejects_foreign_format():
     with pytest.raises(NotImplementedError):
         mm.sgi_decode(b"\x89PNG\r\n\x1a\nxxxxxxxx")
+
+
+def test_image_neardup_pipeline_matches_column_path(spark):
+    """decode→recomputed-phash→banded pairs must equal the pairs computed
+    from the corpus's stored phash column — the bytes path and the
+    column path are the same function of the data."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.multimodal.images import phash_udf_frame
+    from crawler_spark.operators.dedup import phash_neardup_pairs
+    from crawler_spark.synth import SynthConfig, corpus_df
+
+    cfg = SynthConfig(n_pages=300, n_hosts=6, with_images=True)
+    corpus = corpus_df(spark, cfg).persist()
+    corpus.count()
+    from_bytes = phash_neardup_pairs(
+        phash_udf_frame(corpus.select("image_id", "bytes")),
+        "phash2", "image_id", max_hamming=12,
+    )
+    from_column = phash_neardup_pairs(
+        corpus.select("image_id", "phash"), "phash", "image_id", max_hamming=12
+    )
+    a = {(r.id_a, r.id_b, r.hamming) for r in from_bytes.collect()}
+    b = {(r.id_a, r.id_b, r.hamming) for r in from_column.collect()}
+    assert a == b
+    assert a, "near-dup pair set must be non-vacuous"
+    corpus.unpersist()
