@@ -546,9 +546,16 @@ class CrawlEngine:
             # every downstream action re-runs this epoch's joins/windows/
             # bloom cogroups (measured 10× epoch-loop slowdown). The
             # append-only tables (crawl_order/lineage/metrics) are only
-            # read at commit time and stay lazy.
-            for name in ("frontier", "url_seen", "segments", "content_seen",
-                         "extracted"):
+            # read at commit time and stay lazy; content_seen/extracted
+            # only change when their feature is on (each eager
+            # localCheckpoint is a whole Spark job — don't pay it for a
+            # table that is provably empty this run)
+            tables = ["frontier", "url_seen", "segments"]
+            if cfg.track_content_dups:
+                tables.append("content_seen")
+            if self._alias_map is not None:
+                tables.append("extracted")
+            for name in tables:
                 self._state[name] = self._state[name].localCheckpoint(eager=True)
         return m
 

@@ -221,3 +221,22 @@ def test_parity_with_redirect_aliases(spark, tmp_path):
     want_metrics = [tuple([m["epoch"]] + [m[f] for f in fields]) for m in oracle.metrics]
     assert got_metrics == want_metrics
     corpus.unpersist()
+
+
+def test_parity_with_deferred_commits(spark, web, tmp_path):
+    """commit_every > 1 (throughput profile: state carried via
+    localCheckpoint between snapshot commits) must not change results."""
+    cfg, corpus, robots = web
+    seeds = seed_urls(cfg, 5)
+    oracle = crawl_oracle(cfg, seeds, robots_rows(cfg), max_epochs=4, epoch_ms=8000)
+    eng = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=4, epoch_ms=8000, use_bloom=True,
+                     checkpoint_dir=str(tmp_path / "ck_defer"),
+                     n_seen_buckets=8, bloom_m_bits=1 << 16,
+                     commit_every=3, track_content_dups=True),
+    )
+    eng.run(seeds)
+    got = [(r.seq, r.url) for r in eng.crawl_order.collect()]
+    assert got == [(s, u) for (s, u, _e, _h) in oracle.crawl_order]
+    assert {r.url for r in eng.url_seen.collect()} == oracle.url_seen
