@@ -360,15 +360,23 @@ class CrawlEngine:
             )
         else:
             fetched = fetched.withColumn("__cache_hit", F.lit(False))
-        fetched.persist()
-        frow = fetched.agg(
-            F.count("*").alias("n"),
+        # fetch/candidate counters ride the plan as CollectMetrics
+        # (Observation API): they are computed DURING the one action that
+        # materializes the survivors, instead of costing one extra Spark
+        # job each — per-epoch driver job count is the local throughput
+        # ceiling (and the per-commit latency floor on a cluster)
+        from pyspark.sql import Observation
+
+        obs_fetch = Observation()
+        fetched = fetched.observe(
+            obs_fetch,
+            F.count(F.lit(1)).alias("n"),
             F.coalesce(
                 F.sum((F.col("is_leaf") & ~F.col("__cache_hit")).cast("long")),
                 F.lit(0),
             ).alias("lv"),
-        ).first()
-        n_fetched, n_leaves = frow["n"], frow["lv"]
+        )
+        fetched.persist()
         extract_input = fetched.filter(~F.col("__cache_hit")).drop(
             "__cache_hit", "requested_url"
         )
@@ -396,7 +404,7 @@ class CrawlEngine:
             ).select("caption_hash")
             fresh_hashes.persist()
             n_fresh = fresh_hashes.count()
-            n_extracted = extract_input.count() if self._alias_map is not None else n_fetched
+            n_extracted = extract_input.count()
             n_neardup = n_extracted - n_fresh
             self._state["content_seen"] = self._state["content_seen"].unionByName(
                 fresh_hashes
@@ -416,15 +424,11 @@ class CrawlEngine:
         cand_all = cand_all.withColumn("url_hash", F.xxhash64("url")).withColumn(
             "partition_id", bucket_expr(F.col("url_hash"), cfg.n_seen_buckets)
         )
-        cand_all.persist()
         # oracle's dups_dropped counts every non-enqueued same-host
-        # occurrence, so count BEFORE within-batch dedup
-        n_candidates = cand_all.count()
-        n_links = (
-            count_extracted(extract_input).count()
-            if cfg.detailed_metrics
-            else n_candidates
-        )
+        # occurrence, so the count observes BEFORE within-batch dedup
+        obs_cand = Observation()
+        cand_all = cand_all.observe(obs_cand, F.count(F.lit(1)).alias("n"))
+        cand_all.persist()
         w_first = Window.partitionBy("url").orderBy("src_seq", "pos")
         candidates = (
             cand_all.withColumn("__rn", F.row_number().over(w_first))
@@ -461,7 +465,14 @@ class CrawlEngine:
             broadcast_probe=scan_only,
         )
         survivors_raw.persist()
-        n_new = survivors_raw.count()
+        n_new = survivors_raw.count()  # the ONE action: fires both observations
+        n_fetched, n_leaves = obs_fetch.get["n"], obs_fetch.get["lv"]
+        n_candidates = obs_cand.get["n"]
+        n_links = (
+            count_extracted(extract_input).count()
+            if cfg.detailed_metrics
+            else n_candidates
+        )
         survivors = self._assign_seq(
             survivors_raw, ["src_seq", "pos"], "insertion_seq", next_seq, n_new
         )
