@@ -240,3 +240,38 @@ def test_parity_with_deferred_commits(spark, web, tmp_path):
     got = [(r.seq, r.url) for r in eng.crawl_order.collect()]
     assert got == [(s, u) for (s, u, _e, _h) in oracle.crawl_order]
     assert {r.url for r in eng.url_seen.collect()} == oracle.url_seen
+
+
+def test_parity_all_disallowed_epoch(spark, tmp_path):
+    """An epoch where robots disallow every pending row must produce the
+    oracle's zero-metrics row and then terminate (the unified epoch path
+    handles zero-selected without a special branch)."""
+    cfg = SynthConfig(n_pages=60, n_hosts=3, with_images=False)
+    corpus = corpus_df(spark, cfg)
+    # every host disallows everything under /p/ → nothing is fetchable
+    blocked = [
+        {"host": f"host{h}.test", "disallow_prefixes": ["/p/"],
+         "crawl_delay_ms": 1000}
+        for h in range(cfg.n_hosts)
+    ]
+    robots = spark.createDataFrame(
+        [(r["host"], r["disallow_prefixes"], r["crawl_delay_ms"]) for r in blocked],
+        ROBOTS_SCHEMA,
+    )
+    seeds = seed_urls(cfg, 3)
+    oracle = crawl_oracle(cfg, seeds, blocked, max_epochs=3, epoch_ms=8000)
+    eng = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=3, epoch_ms=8000,
+                     checkpoint_dir=str(tmp_path / "ck_dis")),
+    )
+    eng.run(seeds)
+    assert eng.crawl_order.count() == 0
+    assert len(oracle.crawl_order) == 0
+    fields = ["urls_scheduled", "pages_fetched", "links_extracted",
+              "links_enqueued", "dups_dropped", "disallowed_dropped",
+              "leaves_fetched", "neardup_fetched"]
+    got_m = [tuple([r.epoch] + [getattr(r, f) for f in fields])
+             for r in eng.metrics.collect()]
+    want_m = [tuple([m["epoch"]] + [m[f] for f in fields]) for m in oracle.metrics]
+    assert got_m == want_m
