@@ -80,3 +80,62 @@ def test_canonicalize_idempotent(spark):
     for href, base, first in _batch(spark, cases):
         if first is not None:
             assert canonicalize(first, first) == first, (href, base, first)
+
+
+# ---- DOM parser properties (pure Python — no Spark needed) ----
+
+_ATTR = st.text(
+    alphabet="abcdefghij-_0123456789", min_size=0, max_size=12
+)
+_TEXT = st.text(
+    alphabet="abc xyz.,!", min_size=0, max_size=20
+)
+_LINKS = st.lists(
+    st.tuples(
+        st.text(alphabet="abcdef/:.0123456789", min_size=1, max_size=30),  # href
+        _TEXT,                                                             # anchor text
+        st.booleans(),                                                     # nofollow
+        _ATTR,                                                             # class attr
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_LINKS)
+def test_dom_render_parse_round_trip(links):
+    """Render an arbitrary anchor list to HTML (with escaping) and parse
+    it back: hrefs, document-order text, and nofollow flags must
+    round-trip exactly; every xpath must be a well-formed //html/body/...
+    path."""
+    import html as html_mod
+
+    from crawler_spark import dom
+
+    body = "".join(
+        '<div class="{}"><a href="{}"{}>{}</a></div>'.format(
+            html_mod.escape(cls, quote=True),
+            html_mod.escape(href, quote=True),
+            ' rel="nofollow"' if nf else "",
+            html_mod.escape(text),
+        )
+        for href, text, nf, cls in links
+    )
+    page = f"<html><body>{body}</body></html>"
+    anchors = dom.page_anchors(page)
+    assert [(a[1], a[2], a[4]) for a in anchors] == [
+        (href, text.strip(), nf) for href, text, nf, _cls in links
+    ]
+    for a in anchors:
+        assert a[3].startswith("//html/body/")
+
+
+@settings(max_examples=300, deadline=None)
+@given(_ATTR)
+def test_format_attr_idempotent(attr):
+    """format_attr is idempotent and never returns an empty string."""
+    from crawler_spark.dom import format_attr
+
+    out = format_attr(attr)
+    assert out is None or (out != "" and format_attr(out) == out)
