@@ -637,6 +637,19 @@ def q_leaf_features(spark, sf_dir):
     return out.withColumnRenamed("id", "doc_id")
 
 
+def q_nb_leaf_classifier(spark, sf_dir):
+    """C8/C9 trained leaf classifier: counts-based Naive Bayes fit by
+    groupBy over a deterministically-labelled slice (doc_id < 200, the
+    graft's stand-in for the reference's hand-labelled corpora,
+    leaf_pages.clj:14-137), predicted for every document via broadcast
+    join. Integer-exact end to end (see operators/classifier.py)."""
+    from crawler_spark.operators.classifier import nb_leaf_classifier
+
+    d = _read(spark, sf_dir, "documents")
+    out = nb_leaf_classifier(d, "text", "doc_id", train_max_id=200)
+    return out.withColumnRenamed("id", "doc_id")
+
+
 def q_plan_ordering(spark, sf_dir):
     """W4 plan ordering: xpath action steps sorted by (depth asc, yield
     desc) — the execute-model planner's greedy order (execute.clj:10-17,
@@ -761,6 +774,38 @@ def q_crawl_epoch(spark, sf_dir):
         corpus,
         robots,
         EngineConfig(max_epochs=2, epoch_ms=8000, checkpoint_dir=tempfile.mkdtemp()),
+    )
+    eng.run(seed_urls(cfg, 4))
+    return eng.crawl_order
+
+
+def q_crawl_harvest(spark, sf_dir):
+    """E3 model-driven harvest (reference execute-model automaton,
+    crawl.clj:246-530, execute.clj:10-58): run the engine with a learned
+    model's xpath actions + pagination xpaths and a leaf budget; return
+    the harvest crawl order. Rows-only for the driver — the exact-match
+    gate is tests/test_cli.py::test_execute_model_parity, which compares
+    crawl order, URL-seen set and per-epoch metrics against the
+    sequential oracle under the same model."""
+    import tempfile
+
+    from crawler_spark.engine import CrawlEngine, EngineConfig
+    from crawler_spark.schema import ROBOTS_SCHEMA
+    from crawler_spark.synth import (
+        XPATHS, SynthConfig, corpus_df, robots_rows, seed_urls,
+    )
+
+    cfg = SynthConfig(n_pages=300, n_hosts=8, with_images=False)
+    corpus = corpus_df(spark, cfg)
+    robots = spark.createDataFrame(robots_rows(cfg), ROBOTS_SCHEMA)
+    eng = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(
+            max_epochs=3, epoch_ms=8000, leaf_limit=40,
+            checkpoint_dir=tempfile.mkdtemp(),
+            model_xpaths=tuple(XPATHS[:3]), paging_xpaths=tuple(XPATHS[3:5]),
+            commit_every=3, detailed_metrics=False,
+        ),
     )
     eng.run(seed_urls(cfg, 4))
     return eng.crawl_order
@@ -943,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "char_freq_cosine": q_char_freq_cosine,
         "leaf_features": q_leaf_features,
+        "nb_leaf_classifier": q_nb_leaf_classifier,
         "plan_ordering": q_plan_ordering,
         "seeded_sample": q_seeded_sample,
         "training_data_pipeline": q_training_data_pipeline,
@@ -950,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         # engine / multimodal (rows-only)
         "crawl_epoch": q_crawl_epoch,
+        "crawl_harvest": q_crawl_harvest,
         "image_decode_stats": q_image_decode_stats,
         "image_neardup": q_image_neardup,
     }
@@ -1616,6 +1663,61 @@ def oracle_sql() -> dict[str, str]:
                 (CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0 END) < 0.1)
                AS is_leaf_pred
         FROM feats
+    """
+    # C8/C9 Naive Bayes: integer-only throughout (integral division for
+    # bins, cross-multiplied smoothed posteriors) so DuckDB reproduces
+    # the Spark fit + predict bit-for-bit. Mirrors operators/classifier.py.
+    sqls["nb_leaf_classifier"] = f"""
+        WITH norm AS (SELECT doc_id, text, {_NORM} AS t FROM documents),
+        toks AS (SELECT doc_id, text, list_filter(string_split(t, ' '), x -> x <> '') AS ts
+                 FROM norm),
+        stats AS (
+            SELECT doc_id,
+                   CAST(len(ts) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+                   CAST(len(list_filter(ts, x -> x IN ('the','and','of','to','in','is','that','with'))) AS BIGINT) AS n_stop
+            FROM toks),
+        feats AS (
+            SELECT doc_id, n_tokens, n_chars, n_punct,
+                   least(n_tokens // 16, 7) AS b_tok,
+                   least((n_punct * 100) // greatest(n_chars, 1) // 2, 7) AS b_punct,
+                   least((n_stop * 100) // greatest(n_tokens, 1) // 4, 7) AS b_stop
+            FROM stats),
+        train AS (
+            SELECT *, CASE WHEN n_tokens >= 30
+                            AND (n_punct * 100) // greatest(n_chars, 1) < 10
+                           THEN 1 ELSE 0 END AS y
+            FROM feats WHERE doc_id < 200),
+        priors AS (SELECT CAST(SUM(y) AS BIGINT) AS n1,
+                          CAST(COUNT(*) - SUM(y) AS BIGINT) AS n0 FROM train),
+        melt_train AS (
+            SELECT 'tok' AS f, b_tok AS bin, y FROM train
+            UNION ALL SELECT 'punct', b_punct, y FROM train
+            UNION ALL SELECT 'stop', b_stop, y FROM train),
+        model AS (SELECT f, bin, CAST(SUM(y) AS BIGINT) AS c1,
+                         CAST(COUNT(*) - SUM(y) AS BIGINT) AS c0
+                  FROM melt_train GROUP BY 1, 2),
+        melt_all AS (
+            SELECT doc_id, 'tok' AS f, b_tok AS bin FROM feats
+            UNION ALL SELECT doc_id, 'punct', b_punct FROM feats
+            UNION ALL SELECT doc_id, 'stop', b_stop FROM feats),
+        joined AS (
+            SELECT m.doc_id, COALESCE(model.c1, 0) + 1 AS l1,
+                   COALESCE(model.c0, 0) + 1 AS l0
+            FROM melt_all m LEFT JOIN model ON m.f = model.f AND m.bin = model.bin),
+        prods AS (SELECT doc_id, CAST(product(l1) AS BIGINT) AS p1,
+                         CAST(product(l0) AS BIGINT) AS p0
+                  FROM joined GROUP BY 1)
+        SELECT f.doc_id,
+               CAST(b_tok AS BIGINT) AS b_tok,
+               CAST(b_punct AS BIGINT) AS b_punct,
+               CAST(b_stop AS BIGINT) AS b_stop,
+               CAST(n1 * p1 * (n0 + 8) * (n0 + 8) * (n0 + 8) AS BIGINT) AS score_leaf,
+               CAST(n0 * p0 * (n1 + 8) * (n1 + 8) * (n1 + 8) AS BIGINT) AS score_non,
+               (n1 * p1 * (n0 + 8) * (n0 + 8) * (n0 + 8)
+                > n0 * p0 * (n1 + 8) * (n1 + 8) * (n1 + 8)) AS pred_leaf
+        FROM feats f JOIN prods USING (doc_id) CROSS JOIN priors
     """
     sqls["plan_ordering"] = f"""
         WITH {_LINKS_CTE.strip().lstrip('WITH').strip()},

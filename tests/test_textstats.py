@@ -45,3 +45,36 @@ def test_doc_fingerprint_stability(spark):
     out = {r.id: r.fingerprint for r in textstats.doc_fingerprint(df, "text", "doc_id").collect()}
     assert out[1] == out[2]
     assert out[1] != out[3]
+
+
+def test_nb_leaf_classifier(spark):
+    """NB fit on the teacher-labelled slice should (a) be deterministic,
+    (b) recover the teacher rule well on separable synthetic docs, and
+    (c) emit integer-exact scores (no floats anywhere)."""
+    from crawler_spark.operators.classifier import nb_leaf_classifier
+
+    # separable corpus: leafy docs = long low-punct prose; non-leaf =
+    # short punct-heavy nav strings. ids interleave classes.
+    rows = []
+    for i in range(120):
+        if i % 2 == 0:
+            text = " ".join(["the quick brown word of prose is that with number"] * 5)
+        else:
+            text = "home | login ;;; !!! nav: " + "x, " * (i % 4 + 1)
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    out1 = nb_leaf_classifier(df, "text", "doc_id", train_max_id=80)
+    got1 = {r.id: r for r in out1.collect()}
+    got2 = {r.id: r for r in nb_leaf_classifier(df, "text", "doc_id", train_max_id=80).collect()}
+    assert {k: (v.pred_leaf, v.score_leaf, v.score_non) for k, v in got1.items()} == {
+        k: (v.pred_leaf, v.score_leaf, v.score_non) for k, v in got2.items()
+    }
+    # scores are integral longs
+    schema = dict((f.name, f.dataType.simpleString()) for f in out1.schema.fields)
+    assert schema["score_leaf"] == "bigint" and schema["score_non"] == "bigint"
+    # held-out half (ids >= 80, never in training) still classified by class
+    heldout_leaf = [got1[i].pred_leaf for i in range(80, 120, 2)]
+    heldout_non = [got1[i].pred_leaf for i in range(81, 120, 2)]
+    assert sum(heldout_leaf) >= len(heldout_leaf) * 0.9
+    assert sum(heldout_non) <= len(heldout_non) * 0.1
