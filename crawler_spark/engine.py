@@ -185,10 +185,12 @@ class CrawlEngine:
                 if schema is not None
                 else self.spark.read.parquet(path)
             )
-        # prune old snapshots
+        # prune old snapshots (never the one just committed or anything
+        # newer — defense in depth against a dirty checkpoint dir)
         snaps = sorted(x for x in os.listdir(self.ckpt) if x.startswith("snap-"))
         for old in snaps[: -self.cfg.keep_snapshots]:
-            shutil.rmtree(os.path.join(self.ckpt, old), ignore_errors=True)
+            if int(old.split("-")[1]) < epoch:
+                shutil.rmtree(os.path.join(self.ckpt, old), ignore_errors=True)
         # state is durable on disk now — safe to drop cached inputs
         for df in self._pending_unpersist:
             df.unpersist()
@@ -579,6 +581,15 @@ class CrawlEngine:
         """Run to completion (frontier drained / max_epochs / max_pages).
         Pass seeds to start fresh; omit to continue loaded/resumed state."""
         if seeds is not None:
+            # fresh start invalidates any snapshots already in this
+            # checkpoint dir — and leaving them would corrupt the new
+            # run: stale HIGHER-numbered snaps would rank above the new
+            # epoch-0 commit, so the keep-latest-K pruner would delete
+            # the live snapshot out from under its lazy readers
+            # (observed: FileNotFoundException on snap-00000 parquet)
+            for s in os.listdir(self.ckpt):
+                if s.startswith("snap-"):
+                    shutil.rmtree(os.path.join(self.ckpt, s), ignore_errors=True)
             self.init_seeds(seeds)
         while True:
             epoch = self._manifest["epoch"] + 1

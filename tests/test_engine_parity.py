@@ -105,6 +105,31 @@ def test_resume_from_snapshot(spark, web, tmp_path):
     }
 
 
+def test_fresh_restart_on_dirty_checkpoint(spark, web, tmp_path):
+    """run(seeds) on a checkpoint dir holding snapshots from a LONGER
+    previous run must start clean: stale higher-numbered snaps used to
+    outrank the new epoch-0 commit, so the keep-latest-K pruner deleted
+    the live snapshot under its lazy readers (FileNotFoundException)."""
+    cfg, corpus, robots = web
+    seeds = seed_urls(cfg, 5)
+    base = dict(epoch_ms=8000, n_seen_buckets=8, bloom_m_bits=1 << 16)
+    ck = str(tmp_path / "dirty")
+
+    CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=4, checkpoint_dir=ck, keep_snapshots=2, **base),
+    ).run(seeds)
+
+    redo = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=2, checkpoint_dir=ck, keep_snapshots=2, **base),
+    )
+    redo.run(seeds)  # fresh start over the dirty dir
+    got = [(r.seq, r.url) for r in redo.crawl_order.collect()]  # must not raise
+    oracle = crawl_oracle(cfg, seeds, robots_rows(cfg), max_epochs=2, epoch_ms=8000)
+    assert got == [(s, u) for (s, u, _, _) in oracle.crawl_order]
+
+
 def test_leaf_budget_stop(spark, web, tmp_path):
     """Leaf budget: both sides stop before an epoch once cumulative
     fetched leaves reach the limit, and still agree exactly."""
