@@ -46,18 +46,41 @@ def normalize_text(col) -> F.Column:
 
 
 def shingles_col(col, n: int = 4) -> F.Column:
-    """Word n-gram shingle strings from raw text (shingles.clj:5-26)."""
+    """Word n-gram shingle strings from raw text (shingles.clj:5-26).
+
+    Built as arrays_zip of n shifted slices + a per-element concat: the
+    transform lambda touches only its own zipped element, so the token
+    array (and the normalize regexes feeding it) is evaluated a constant
+    number of times per row — the index-based slice(toks, i+1, n) form
+    re-evaluated the outer array expression per shingle inside the
+    interpreted HOF (measured 2.4x slower). Short rows degrade
+    identically: zip pads missing tails with NULL and concat_ws skips
+    them, matching the old greatest(k-1, 0) clamp."""
     toks = F.split(normalize_text(col), " ")
-    k = F.size(toks) - (n - 1)
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, k) for i in range(n)])
     return F.transform(
-        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
     )
+
+
+def widen_narrow_input(df: DataFrame) -> DataFrame:
+    """Heavy per-row stages must not inherit a narrow scan: one parquet
+    file at small SF reads as a single partition and serializes all the
+    regex/hash work onto one core (measured 10x on the shingle explode).
+    At cluster scale inputs carry thousands of partitions and this is a
+    no-op; the round-robin repartition only fires when the scan is
+    narrower than the session's parallelism."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact duplicates by normalized-text hash; keeps the smallest id per
     group (deterministic winner). Returns (id, dup_of, text_hash)."""
+    df = widen_narrow_input(df)
     h = df.select(F.col(id_col).alias("id"), md5_hash61(normalize_text(F.col(text_col))).alias("text_hash"))
     w = Window.partitionBy("text_hash").orderBy("id")
     return (
@@ -90,11 +113,15 @@ def ngram_jaccard_pairs(
     universe (sizes computed after the cap, so the metric stays a true
     Jaccard of the surviving sets). None = exact reference semantics.
     """
+    # hash BEFORE the distinct: the dedup shuffle then carries 16-byte
+    # (id, hash) rows instead of raw shingle strings — the oracle's
+    # hashed0 CTE distincts on the hash the same way
     sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles_col(F.col(text_col), n)).alias("sh"))
+        widen_narrow_input(df)
+        .select(F.col(id_col).alias("id"), F.explode(shingles_col(F.col(text_col), n)).alias("sh"))
         .filter(F.col("sh") != "")
+        .select("id", md5_hash61(F.col("sh")).alias("sh_hash"))
         .distinct()
-        .withColumn("sh_hash", md5_hash61(F.col("sh")))
     )
     if sample_mod > 1:
         sh = sh.filter(F.pmod(F.col("sh_hash"), F.lit(sample_mod)) == 0)
@@ -137,11 +164,14 @@ def minhash_signatures(
     groupBy-min (map-side partial agg; one shuffle keyed on id)."""
     # p = 2^31-1 keeps a*x' + b < 2^63 (ANSI mode raises on long overflow)
     p = 2147483647
+    # hash+mod BEFORE the distinct (slim shuffle; identical MIN result —
+    # and the oracle's hashed CTE distincts on x the same way)
     sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles_col(F.col(text_col), n)).alias("sh"))
+        widen_narrow_input(df)
+        .select(F.col(id_col).alias("id"), F.explode(shingles_col(F.col(text_col), n)).alias("sh"))
         .filter(F.col("sh") != "")
+        .select("id", F.pmod(md5_hash61(F.col("sh")), F.lit(p)).alias("x"))
         .distinct()
-        .withColumn("x", F.pmod(md5_hash61(F.col("sh")), F.lit(p)))
     )
     idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_idx")
     expanded = sh.select("id", "x", idx)
@@ -207,7 +237,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     """(id, simhash): sign-aggregated token-hash bits — groupBy-sum over
     (id, bit) then bit-pack, all column math."""
     toks = (
-        df.select(F.col(id_col).alias("id"), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"))
+        widen_narrow_input(df)
+        .select(F.col(id_col).alias("id"), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"))
         .filter(F.col("tok") != "")
         .withColumn("x", md5_hash61(F.col("tok")))
     )

@@ -140,10 +140,11 @@ def doc_fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> Da
     """Bottom-k sketch fingerprint: the k smallest 4-gram shingle hashes,
     packed to a string (winnowing-style document fingerprint; same
     identity ⇒ same fingerprint, robust to small edits)."""
-    from .dedup import shingles_col
+    from .dedup import shingles_col, widen_narrow_input
 
     sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles_col(F.col(text_col))).alias("sh"))
+        widen_narrow_input(df)
+        .select(F.col(id_col).alias("id"), F.explode(shingles_col(F.col(text_col))).alias("sh"))
         .filter(F.col("sh") != "")
         .withColumn("h", md5_hash61(F.col("sh")))
         .distinct()
