@@ -935,6 +935,24 @@ def q_lsh_ann_topk(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF partition-pruned ANN, ORACLED: corpus-seeded centroids (the
+    8 smallest vec_ids — a deterministic k-means init, no Lloyd rounds)
+    → argmin-L2 cell assignment → 2-cell probe per query → exact cosine
+    re-rank. DuckDB restates fit+assign+probe+re-rank via list_distance
+    / list_cosine_similarity. The Lloyd-converged variant (ivf_topk,
+    pyspark.ml KMeans) has a recall-vs-brute pytest gate instead."""
+    from crawler_spark.operators.similarity import ivf_seeded_topk
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivf_seeded_topk(emb, q, k=5, n_cells=8, n_probe=2).select(
+        "q_id", "n_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational core (SURVEY §2.3-2.7)
@@ -970,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh_bucket": q_embed_lsh_bucket,
         "embed_cosine_neardup": q_embed_cosine_neardup,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_topk": q_ivf_topk,
         # crawl graph (SURVEY §2.2, §2.12)
         "link_extract": q_link_extract,
         "html_extract": q_html_extract,
@@ -1254,6 +1273,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
         FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.ph, b.ph)) <= 8
+    """
+    # IVF seeded search: fit (seeded centroids) + assign (argmin L2,
+    # tie → lower cell) + probe (2 nearest cells) + exact cosine re-rank,
+    # all restated. list_distance is monotone with the Spark side's
+    # squared-L2, so every ordering decision agrees.
+    sqls["ivf_topk"] = """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cen AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 8),
+        assign AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, cen.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY list_distance(e.v, cen.c), cen.cell) AS rn
+                FROM e, cen) WHERE rn = 1),
+        q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 5),
+        probed AS (
+            SELECT q_id, cell FROM (
+                SELECT q.q_id, cen.cell,
+                       row_number() OVER (PARTITION BY q.q_id
+                                          ORDER BY list_distance(q.q_vec, cen.c), cen.cell) AS pr
+                FROM q, cen) WHERE pr <= 2),
+        scored AS (
+            SELECT p.q_id, a.vec_id AS n_id,
+                   list_cosine_similarity(q.q_vec, e.v) AS cos
+            FROM probed p
+            JOIN assign a ON a.cell = p.cell
+            JOIN q ON q.q_id = p.q_id
+            JOIN e ON e.vec_id = a.vec_id
+            WHERE a.vec_id <> p.q_id),
+        ranked AS (
+            SELECT q_id, n_id, cos,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+            FROM scored)
+        SELECT q_id, n_id, round(cos, 4) AS cosine, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5
     """
     sqls["embed_topk"] = """
         WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),

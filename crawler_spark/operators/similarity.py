@@ -261,6 +261,22 @@ def ivf_topk(
     broadcast centroid list (no model object on the executors); the
     candidate join is an equi-join on cell."""
     centroids, assign = ivf_fit(df, vec_col, id_col, n_cells, seed)
+    return ivf_search(df, queries, centroids, assign, vec_col, id_col, k, n_probe)
+
+
+def ivf_search(
+    df: DataFrame,
+    queries: DataFrame,
+    centroids: list,
+    assign: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Partition-pruned ANN search against a given centroid list +
+    cell assignment (the IVF probe stage, independent of how the
+    quantizer was fit)."""
     corpus = df.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).cast("array<double>").alias("n_vec")
     ).join(assign.withColumnRenamed("id", "n_id"), "n_id")
@@ -290,6 +306,49 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "cosine", "rank")
     )
+
+
+def ivf_seeded_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF ANN with CORPUS-SEEDED centroids (the vectors with the
+    n_cells smallest ids — i.e. a deterministic k-means|| init step
+    without the Lloyd iterations): assignment = argmin squared-L2 to a
+    centroid (ties → lower cell), probe = the n_probe nearest cells per
+    query, exact cosine re-rank inside probed cells. Deterministic end
+    to end, so the WHOLE search — fit, assign, probe, re-rank — is
+    restatable in DuckDB (list_distance / list_cosine_similarity);
+    `ivf_topk` is the production variant with Lloyd-converged centroids
+    (pytest recall gate). Scale shape identical: centroids are a
+    driver-side model artifact re-broadcast as column literals; the
+    corpus never shuffles except the one equi-join on cell."""
+    cen_rows = (
+        df.filter(F.col(id_col) < n_cells)
+        .orderBy(id_col)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    centroids = [list(map(float, r[0])) for r in cen_rows]
+    dists = F.array(
+        *[
+            F.struct(
+                _sq_dist_to(F.col(vec_col).cast("array<double>"), c).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    assign = df.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(dists)[0]["cell"].alias("cell"),
+    )
+    return ivf_search(df, queries, centroids, assign, vec_col, id_col, k, n_probe)
 
 
 def ivf_assign(df: DataFrame, vec_col: str, id_col: str, n_cells: int = 16) -> DataFrame:

@@ -85,3 +85,20 @@ def test_ivf_kmeans_fit_and_topk_recall(spark):
     e = {(r.q_id, r.n_id) for r in exact.collect()}
     a = {(r.q_id, r.n_id) for r in approx.collect()}
     assert len(a & e) >= len(e) * 0.3, (len(a & e), len(e))
+
+
+def test_ivf_seeded_topk_recall_and_determinism(spark):
+    """Corpus-seeded IVF (the oracled contract variant): deterministic
+    across runs, no all-pairs shape, and a 2-probe search over 8 seeded
+    cells still recovers a meaningful share of the exact top-3."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    a1 = similarity.ivf_seeded_topk(emb, q, k=3, n_cells=8, n_probe=2)
+    assert_no_cartesian(a1)
+    r1 = {(r.q_id, r.n_id, r.rank) for r in a1.collect()}
+    r2 = {(r.q_id, r.n_id, r.rank)
+          for r in similarity.ivf_seeded_topk(emb, q, k=3, n_cells=8, n_probe=2).collect()}
+    assert r1 == r2
+    exact = {(r.q_id, r.n_id) for r in similarity.brute_force_topk(emb, q, k=3).collect()}
+    got = {(q_, n_) for (q_, n_, _) in r1}
+    assert len(got & exact) >= len(exact) * 0.2, (len(got & exact), len(exact))
