@@ -1280,7 +1280,7 @@ def oracle_sql() -> dict[str, str]:
     # squared-L2, so every ordering decision agrees.
     sqls["ivf_topk"] = """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        cen AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 8),
+        cen AS (SELECT vec_id AS cell, v AS c FROM e ORDER BY vec_id LIMIT 8),
         assign AS (
             SELECT vec_id, cell FROM (
                 SELECT e.vec_id, cen.cell,

@@ -266,6 +266,12 @@ def main():
             times[name] = None
             print(f"bench query {name} failed: {e}", file=sys.stderr)
 
+    # _scratch dirs live on RAM-backed tmpfs — the cached 200k-page web
+    # must not outlive the process
+    for d in _CORPUS_CACHE.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _CORPUS_CACHE.clear()
+
     total = round(sum(t for t in times.values() if t is not None), 3)
     out = {
         "metric": "headline query suite + crawl engine wall time",

@@ -590,6 +590,11 @@ class CrawlEngine:
             for s in os.listdir(self.ckpt):
                 if s.startswith("snap-"):
                     shutil.rmtree(os.path.join(self.ckpt, s), ignore_errors=True)
+            # a previous run's _last_committed must not satisfy the
+            # end-of-run safety-commit check for this fresh run (same
+            # epoch numbers recur, so a stale value would skip the final
+            # commit and leave zero snapshots on disk)
+            self._last_committed = None
             self.init_seeds(seeds)
         while True:
             epoch = self._manifest["epoch"] + 1

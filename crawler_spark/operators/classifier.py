@@ -16,9 +16,10 @@ Exactness design (the driver hash-compares against DuckDB):
 - the argmax is decided by a cross-multiplied integer comparison of the
   two Laplace-smoothed posteriors, so no log/exp floats exist anywhere:
   predict leaf  iff  n1·Π(c1+1)·(n0+B)³  >  n0·Π(c0+1)·(n1+B)³ .
-  With the training slice capped at ``train_max_id`` rows the products
-  stay < 2^54 — exact in int64 (and in the double returned by the
-  ``product`` aggregate both engines use).
+  The training slice is capped at 500 rows (guarded), which keeps the
+  full cross-multiplied score under 2^63 — exact in ANSI int64 — and
+  the 3-factor product under 2^53, exact in the double returned by the
+  ``product`` aggregate both engines use.
 
 Scale shape (100 TB): the model is 3 features × 8 bins × 2 classes = at
 most 48 rows + a 1-row prior — a broadcast. Training is one map-side
@@ -31,8 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import normalize_text
-from .textstats import LANG_STOPWORDS
+from .textstats import text_counts
 
 N_BINS = 8  # per-feature bins; Laplace denominator uses this
 
@@ -40,18 +40,15 @@ N_BINS = 8  # per-feature bins; Laplace denominator uses this
 def page_feature_bins(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Integer-binned page features (the A12 feature family, discretized):
     token-count bin, punctuation-density bin, stopword-ratio bin.
-    All integral arithmetic — bit-identical across engines."""
-    text = F.col(text_col)
-    toks = F.filter(F.split(normalize_text(text), " "), lambda t: t != "")
-    stop_arr = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    All integral arithmetic — bit-identical across engines. Counts come
+    from the one shared textstats.text_counts definition."""
+    c = text_counts(text_col)
     stats = df.select(
         F.col(id_col).alias("id"),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.length(text).cast("long").alias("n_chars"),
-        (F.length(text) - F.length(F.regexp_replace(text, r"[.!?,;:]", "")))
-        .cast("long").alias("n_punct"),
-        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-        .cast("long").alias("n_stop"),
+        c["n_tokens"].cast("long").alias("n_tokens"),
+        c["n_chars"].cast("long").alias("n_chars"),
+        c["n_punct"].cast("long").alias("n_punct"),
+        c["n_stop"].cast("long").alias("n_stop"),
     )
     return stats.select(
         "id", "n_tokens", "n_chars", "n_punct",
@@ -90,6 +87,12 @@ def nb_leaf_classifier(
     """Fit NB on the labelled slice (id < train_max_id), predict for every
     document. Returns (id, b_tok, b_punct, b_stop, score_leaf, score_non,
     pred_leaf) — scores are the exact cross-multiplied integer posteriors."""
+    if train_max_id > 500:
+        # the cross-multiplied integer posterior is exact only while
+        # n·(n+1)³·(n+8)³ < 2^63, which holds through n=500 (8.2e18) and
+        # overflows ANSI-mode int64 by n=520. Larger corpora: train on a
+        # capped deterministic sample, the model saturates long before.
+        raise ValueError("train_max_id > 500 overflows the integer posterior")
     fcols = [("tok", "b_tok"), ("punct", "b_punct"), ("stop", "b_stop")]
     feats = page_feature_bins(df, text_col, id_col)
 

@@ -329,8 +329,8 @@ def ivf_seeded_topk(
     driver-side model artifact re-broadcast as column literals; the
     corpus never shuffles except the one equi-join on cell."""
     cen_rows = (
-        df.filter(F.col(id_col) < n_cells)
-        .orderBy(id_col)
+        df.orderBy(id_col)
+        .limit(n_cells)
         .select(F.col(vec_col).cast("array<double>"))
         .collect()
     )

@@ -24,6 +24,23 @@ LANG_STOPWORDS = {
 }
 
 
+def text_counts(text_col) -> dict:
+    """Shared integer text counts (tokens / chars / punct / en-stopword
+    hits) — ONE definition for quality_score, leaf_features and the NB
+    classifier bins (operators/classifier.py), so a tokenization change
+    can't silently diverge the three operators and their DuckDB oracles."""
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.filter(F.split(normalize_text(text), " "), lambda t: t != "")
+    stop_arr = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    return {
+        "toks": toks,
+        "n_tokens": F.size(toks),
+        "n_chars": F.length(text),
+        "n_punct": F.length(text) - F.length(F.regexp_replace(text, r"[.!?,;:]", "")),
+        "n_stop": F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))),
+    }
+
+
 def token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Whitespace tokens + a BPE-ish subword estimate (word-piece count
     approximated as ceil(chars/4) per token, the common ~4-chars-per-token
@@ -44,13 +61,9 @@ def token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + a
     composite score (leaf_pages.clj:141-228 analog, columnized)."""
-    text = F.col(text_col)
-    n_chars = F.length(text)
-    n_punct = n_chars - F.length(F.regexp_replace(text, r"[.!?,;:]", ""))
-    toks = F.filter(F.split(normalize_text(text), " "), lambda t: t != "")
-    n_tokens = F.size(toks)
-    stop_arr = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    c = text_counts(text_col)
+    toks, n_tokens, n_chars = c["toks"], c["n_tokens"], c["n_chars"]
+    n_punct, n_stop = c["n_punct"], c["n_stop"]
     mean_tok_len = F.when(n_tokens > 0, (
         F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)) / n_tokens
     )).otherwise(F.lit(0.0))
@@ -105,19 +118,16 @@ def leaf_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     standing in for the SVM/WEKA classifiers (C8/C9; the graft replaces
     trained models with a deterministic rule per SURVEY.md §2.9)."""
     text = F.col(text_col)
-    toks = F.filter(F.split(normalize_text(text), " "), lambda t: t != "")
-    n_tokens = F.size(toks)
-    n_chars = F.length(text)
-    n_punct = n_chars - F.length(F.regexp_replace(text, r"[.!?,;:]", ""))
+    c = text_counts(text_col)
+    toks, n_tokens, n_chars = c["toks"], c["n_tokens"], c["n_chars"]
+    n_punct = c["n_punct"]
     n_digits = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
     n_sentences = F.size(F.filter(F.split(text, r"[.!?]"), lambda s: F.trim(s) != ""))
     sum_tok_len = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
     mean_tok_len = F.when(n_tokens > 0, sum_tok_len / n_tokens).otherwise(F.lit(0.0))
     max_tok_len = F.array_max(F.transform(toks, lambda t: F.length(t)))
-    stop_arr = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
     stop_ratio = F.when(
-        n_tokens > 0,
-        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n_tokens,
+        n_tokens > 0, c["n_stop"] / n_tokens
     ).otherwise(F.lit(0.0))
     is_leaf_pred = (n_tokens >= 30) & (
         F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)) < 0.1

@@ -129,6 +129,20 @@ def test_fresh_restart_on_dirty_checkpoint(spark, web, tmp_path):
     oracle = crawl_oracle(cfg, seeds, robots_rows(cfg), max_epochs=2, epoch_ms=8000)
     assert got == [(s, u) for (s, u, _, _) in oracle.crawl_order]
 
+    # same ENGINE OBJECT re-run with deferred commits: the stale
+    # _last_committed from the first run must not skip the safety
+    # commit (it used to leave the dir with zero snapshots)
+    again = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=2, checkpoint_dir=ck, keep_snapshots=2,
+                     commit_every=3, **base),
+    )
+    again.run(seeds)
+    again.run(seeds)
+    assert again.latest_snapshot() is not None
+    got2 = [(r.seq, r.url) for r in again.crawl_order.collect()]
+    assert got2 == got
+
 
 def test_leaf_budget_stop(spark, web, tmp_path):
     """Leaf budget: both sides stop before an epoch once cumulative
