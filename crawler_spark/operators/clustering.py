@@ -48,6 +48,25 @@ def connected_components(
             .withColumn("new_c", F.least(F.col("component"), F.coalesce("n_min", F.col("component"))))
             .select("id", F.col("new_c").alias("component"))
         )
+        # pointer jump (path doubling): also adopt the label OF one's
+        # label — every label is itself a node id, so one extra
+        # self-join doubles the propagation distance per round. With
+        # the one-hop neighbor step alone this loop was O(diameter)
+        # (a >max_iter-long chain raised); combined it is O(log d).
+        # Labels only ever decrease within the component, so the
+        # fixpoint (= component min) is unchanged.
+        lbl2 = new_labels.select(
+            F.col("id").alias("l_id"), F.col("component").alias("l_comp")
+        )
+        new_labels = (
+            new_labels.join(lbl2, new_labels["component"] == lbl2["l_id"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("l_comp", F.col("component"))
+                ).alias("component"),
+            )
+        )
         new_labels = new_labels.localCheckpoint(eager=True)  # truncate plan
         changed = (
             new_labels.alias("n")
@@ -64,8 +83,8 @@ def connected_components(
         # exiting with changes pending would silently return wrong
         # component ids on long-chain graphs — fail loudly instead
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds; "
-            "raise max_iter (graph diameter exceeds it)"
+            f"connected_components did not converge in {max_iter} rounds "
+            "(supports diameter ~2^max_iter via pointer jumping); raise max_iter"
         )
     return labels
 

@@ -156,6 +156,18 @@ def test_connected_components(spark):
     assert comp[20] == 20
 
 
+def test_connected_components_long_chain(spark):
+    """A 300-node path (diameter 299) must converge within the default
+    20-round budget — the pointer-jumping step makes rounds O(log d);
+    one-hop propagation alone needed 299 rounds and raised."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], ["id_a", "id_b"]
+    )
+    comp = {r.id: r.component for r in clustering.connected_components(edges).collect()}
+    assert len(comp) == 300
+    assert set(comp.values()) == {0}
+
+
 def test_cluster_assignment_with_singletons(spark):
     pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
     ids = spark.createDataFrame([(1,), (2,), (5,)], ["id"])
