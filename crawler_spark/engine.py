@@ -136,10 +136,14 @@ class CrawlEngine:
         # broadcast against this projection — the map never shuffles.
         self._alias_map = None
         if "aliases" in corpus.columns:
+            # one alias_url must resolve to ONE page even on a dirty
+            # corpus where two pages claim the same alias — smallest
+            # canonical url wins (deterministic, order-independent;
+            # the oracle applies the same rule)
             amap = corpus.select(
                 F.explode("aliases").alias("alias_url"),
                 F.col("url").alias("final_url"),
-            )
+            ).groupBy("alias_url").agg(F.min("final_url").alias("final_url"))
             self._alias_map = amap
         self.robots = robots
         self.ckpt = self.cfg.checkpoint_dir or tempfile.mkdtemp(prefix="crawl-ckpt-")
@@ -188,7 +192,8 @@ class CrawlEngine:
         # prune old snapshots (never the one just committed or anything
         # newer — defense in depth against a dirty checkpoint dir)
         snaps = sorted(x for x in os.listdir(self.ckpt) if x.startswith("snap-"))
-        for old in snaps[: -self.cfg.keep_snapshots]:
+        keep = max(1, self.cfg.keep_snapshots)  # 0 must not mean "keep all"
+        for old in snaps[: len(snaps) - keep]:
             if int(old.split("-")[1]) < epoch:
                 shutil.rmtree(os.path.join(self.ckpt, old), ignore_errors=True)
         # state is durable on disk now — safe to drop cached inputs
@@ -213,6 +218,11 @@ class CrawlEngine:
             self._manifest = json.load(f)
         for name in _STATE_TABLES:
             self._state[name] = self.spark.read.parquet(os.path.join(d, name))
+        # the loaded epoch IS committed — without this, a run() that
+        # stops before any new epoch would re-commit into the very
+        # snapshot dir these lazy readers point at (overwrite-while-
+        # reading AnalysisException, or a corrupted only-snapshot)
+        self._last_committed = epoch
 
     # ---------------- crawl ----------------
 
@@ -317,31 +327,54 @@ class CrawlEngine:
 
         # redirect resolution (S3): scheduled urls that are aliases fetch
         # their canonical page. alias_map streams; the batch broadcasts.
+        # fetch: broadcast the quota-bounded batch into the corpus scan —
+        # the corpus (10^10-row side) never shuffles
         sel_urls = selected.select("seq", "url")
+        fetch_cols = ["seq", "requested_url", "url", "host", "out_links", "is_leaf"]
+        if cfg.track_content_dups:
+            fetch_cols.append("caption")
         if self._alias_map is not None:
             am = self._alias_map.join(
                 F.broadcast(sel_urls),
                 self._alias_map["alias_url"] == sel_urls["url"],
                 "inner",
             ).select("seq", "final_url")
-            resolved = sel_urls.join(F.broadcast(am), "seq", "left").select(
+            # fetch keys carry a priority: a requested url that IS a
+            # corpus page wins over any alias mapping it also has
+            # (oracle precedence `by_url.get(u) or by_alias.get(u)`);
+            # the alias target only lands when the direct key found no
+            # page. One corpus scan serves both key sets.
+            keys = sel_urls.select(
                 "seq",
                 F.col("url").alias("requested_url"),
-                F.coalesce("final_url", F.col("url")).alias("url"),
+                F.col("url").alias("__join_url"),
+                F.lit(0).alias("__prio"),
+            ).unionByName(
+                sel_urls.join(F.broadcast(am), "seq").select(
+                    "seq",
+                    F.col("url").alias("requested_url"),
+                    F.col("final_url").alias("__join_url"),
+                    F.lit(1).alias("__prio"),
+                )
+            )
+            w_prio = Window.partitionBy("seq").orderBy("__prio")
+            fetched = (
+                self.corpus.join(
+                    F.broadcast(keys),
+                    self.corpus["url"] == keys["__join_url"],
+                    "inner",
+                )
+                .withColumn("__prn", F.row_number().over(w_prio))
+                .filter(F.col("__prn") == 1)
+                .select(*fetch_cols)
             )
         else:
             resolved = sel_urls.select(
                 "seq", F.col("url").alias("requested_url"), "url"
             )
-
-        # fetch: broadcast the quota-bounded batch into the corpus scan —
-        # the corpus (10^10-row side) never shuffles
-        fetch_cols = ["seq", "requested_url", "url", "host", "out_links", "is_leaf"]
-        if cfg.track_content_dups:
-            fetch_cols.append("caption")
-        fetched = self.corpus.join(F.broadcast(resolved), "url", "inner").select(
-            *fetch_cols
-        )
+            fetched = self.corpus.join(F.broadcast(resolved), "url", "inner").select(
+                *fetch_cols
+            )
         if self._alias_map is not None:
             # redirect cache (sequential semantics): a fetch resolving to
             # a page already extracted — in an earlier epoch (extracted
@@ -414,8 +447,11 @@ class CrawlEngine:
 
         cand_all = extract_candidates(extract_input, dedup=False)
         if cfg.model_xpaths is not None:
-            # harvest mode: the learned model decides which links exist
-            is_digit = F.col("src_text").rlike("^[0-9]+$")
+            # harvest mode: the learned model decides which links exist.
+            # src_text is nullable — NULL rlike would make BOTH branches
+            # NULL and silently drop a model-matched link the oracle
+            # keeps (it matches on `text or ''`), so anchor on ''
+            is_digit = F.coalesce(F.col("src_text"), F.lit("")).rlike("^[0-9]+$")
             keep_paging = is_digit & F.col("src_xpath").isin(list(cfg.paging_xpaths))
             keep_content = ~keep_paging & F.col("src_xpath").isin(
                 list(cfg.model_xpaths)

@@ -13,10 +13,11 @@ data through one partition:
    a single reducer) + broadcast-joined offset.
 
 The resulting sequence depends only on the total order, not on where the
-range boundaries land, so it is deterministic even though range
-partitioning samples. This is the two-phase trick used by every
-distributed zip-with-index; at 10^10 rows nothing here exceeds
-per-partition work + one tiny aggregate.
+range boundaries land — PROVIDED every consumer sees the same boundaries
+as the counts job, which is why the partitioned batch is localCheckpoint
+-frozen before offsets are baked (range sampling reseeds per execution).
+This is the two-phase trick used by every distributed zip-with-index; at
+10^10 rows nothing here exceeds per-partition work + one tiny aggregate.
 """
 
 from __future__ import annotations
@@ -41,6 +42,14 @@ def with_global_seq(
     d = df.repartitionByRange(parts, *[F.col(c) for c in order_cols]).withColumn(
         _PID, F.spark_partition_id()
     )
+    # FREEZE the range partitioning before baking offsets from it:
+    # RangePartitioner samples with a per-execution seed, so without
+    # this the counts job and any later action could see DIFFERENT
+    # boundaries — the stale offset map would then duplicate/skip seqs.
+    # localCheckpoint materializes the partitioned batch once; every
+    # consumer (counts, the window below, all downstream state tables)
+    # reads that same frozen layout.
+    d = d.localCheckpoint(eager=True)
     counts = d.groupBy(_PID).count().collect()
     offsets, acc = {}, start
     for row in sorted(counts, key=lambda r: r[_PID]):

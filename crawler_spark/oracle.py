@@ -79,7 +79,14 @@ def crawl_oracle(
     # S3 redirect closure: alias → page; fetching an alias returns the
     # canonical page, inserts its url into seen, and re-fetches of an
     # already-extracted page are cache hits (no re-extraction)
-    by_alias = {a: r for r in records for a in (r.get("aliases") or [])}
+    # duplicate alias claims resolve to the page with the SMALLEST
+    # canonical url (deterministic, order-independent — engine rule)
+    by_alias: dict = {}
+    for r in records:
+        for a in r.get("aliases") or []:
+            cur = by_alias.get(a)
+            if cur is None or r["url"] < cur["url"]:
+                by_alias[a] = r
     delay = {r["host"]: r["crawl_delay_ms"] for r in robots}
     disallow = {r["host"]: r["disallow_prefixes"] for r in robots}
 
@@ -110,8 +117,12 @@ def crawl_oracle(
             break
         # robots filter first (engine order: robots_filter → dequeue)
         def is_disallowed(entry):
+            # mirror politeness.with_disallowed_flag: strip scheme +
+            # authority by regex (splitting on the host string crashes
+            # on an empty-authority url and mis-splits when the host
+            # text also appears in the path)
             h = entry["host"]
-            path = entry["url"].split(h, 1)[1]
+            path = re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "", entry["url"])
             return any(path.startswith(p) for p in disallow.get(h, []))
 
         allowed = [e for e in frontier if not is_disallowed(e)]

@@ -158,6 +158,13 @@ def anti_join_seen(
         .cogroup(segments.groupBy("partition_id"))
         .applyInPandas(flag, out_schema)
     )
+    # both branches below reference this subtree — without materializing
+    # it once, the Arrow cogroup (the per-epoch bloom probe) executes
+    # TWICE per action (and 4x in redirect-closure epochs). Lazy local
+    # checkpoint = cache on first use + lineage cut; the RDD-level blocks
+    # are context-cleaned when the epoch's plan goes out of scope
+    # (a plan-keyed .persist() here would leak one batch per epoch).
+    flagged = flagged.localCheckpoint(eager=False)
     definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     survivors = _anti_join_scan_only(maybe, url_seen, broadcast_probe)

@@ -314,3 +314,68 @@ def test_parity_all_disallowed_epoch(spark, tmp_path):
              for r in eng.metrics.collect()]
     want_m = [tuple([m["epoch"]] + [m[f] for f in fields]) for m in oracle.metrics]
     assert got_m == want_m
+
+
+def _mini_corpus(spark, rows):
+    """rows: (url, host, out_links, aliases)"""
+    from crawler_spark.schema import CORPUS_SCHEMA
+
+    full = [
+        ("img-%d" % i, None, 1, 1, "raw", "caption %d" % i, 0,
+         url, host, links, False, aliases)
+        for i, (url, host, links, aliases) in enumerate(rows)
+    ]
+    return spark.createDataFrame(full, CORPUS_SCHEMA)
+
+
+def _mini_robots(spark, hosts):
+    from crawler_spark.schema import ROBOTS_SCHEMA
+
+    return spark.createDataFrame(
+        [(h, [], 1000) for h in hosts], ROBOTS_SCHEMA
+    )
+
+
+def test_alias_direct_page_precedence(spark, tmp_path):
+    """A url that IS a corpus page and ALSO an alias of another page must
+    fetch the direct page (oracle: by_url.get(u) or by_alias.get(u)).
+    If the alias mapping won, page B's out-link to /c would be crawled."""
+    link = [{"href": "http://h.test/c", "text": "c", "xpath": "/x", "nofollow": False}]
+    corpus = _mini_corpus(spark, [
+        ("http://h.test/a", "h.test", [], None),
+        ("http://h.test/b", "h.test", link, ["http://h.test/a"]),
+        ("http://h.test/c", "h.test", [], None),
+    ])
+    eng = CrawlEngine(
+        spark, corpus, _mini_robots(spark, ["h.test"]),
+        EngineConfig(max_epochs=3, epoch_ms=8000,
+                     checkpoint_dir=str(tmp_path / "prec")),
+    )
+    eng.run(["http://h.test/a"])
+    seen = {r.url for r in eng.url_seen.collect()}
+    assert "http://h.test/c" not in seen, "alias mapping overrode a direct page"
+    assert seen == {"http://h.test/a"}
+
+
+def test_alias_duplicate_claims_resolve_min_url(spark, tmp_path):
+    """Two pages claiming the same alias: smallest canonical url wins,
+    and the fetch must not duplicate (one scheduled row → one fetch)."""
+    la = [{"href": "http://h.test/from-a", "text": "a", "xpath": "/x", "nofollow": False}]
+    lb = [{"href": "http://h.test/from-b", "text": "b", "xpath": "/x", "nofollow": False}]
+    corpus = _mini_corpus(spark, [
+        ("http://h.test/a", "h.test", la, ["http://h.test/alias"]),
+        ("http://h.test/b", "h.test", lb, ["http://h.test/alias"]),
+        ("http://h.test/from-a", "h.test", [], None),
+        ("http://h.test/from-b", "h.test", [], None),
+    ])
+    eng = CrawlEngine(
+        spark, corpus, _mini_robots(spark, ["h.test"]),
+        EngineConfig(max_epochs=3, epoch_ms=8000,
+                     checkpoint_dir=str(tmp_path / "dupalias")),
+    )
+    eng.run(["http://h.test/alias"])
+    m = eng.metrics.collect()
+    assert sum(r.pages_fetched for r in m[:1]) == 1, "duplicate alias fetch"
+    seen = {r.url for r in eng.url_seen.collect()}
+    assert "http://h.test/from-a" in seen
+    assert "http://h.test/from-b" not in seen
