@@ -159,6 +159,10 @@ def format_attr(attr: str):
     import re
 
     out = re.sub(r"\d+$", "", attr)
+    # a quote inside an id/class value would render a syntactically
+    # invalid XPath predicate (contains(@class,'john's')) — strip it;
+    # the generalized path is a grouping key AND must stay evaluable
+    out = out.replace("'", "")
     return out or None
 
 
@@ -210,6 +214,14 @@ def page_anchors(html: str) -> list:
         href = a.attrs.get("href")
         if href is None:
             continue
+        # Entity convention: HTMLParser has already decoded the attribute
+        # value, and the downstream canonicalizer unescapes once more —
+        # i.e. a double-encoded href (&amp;amp;) decodes twice. This is
+        # deliberately REFERENCE-FAITHFUL: HtmlCleaner also returns
+        # decoded attributes and dom.clj:362 html-unescapes them again.
+        # It also makes parse(render(corpus)) == corpus for corpora whose
+        # raw hrefs may themselves contain entity text (the round-trip
+        # test pins this).
         rel = (a.attrs.get("rel") or "").lower()
         out.append(
             (

@@ -146,11 +146,16 @@ def phash_udf_frame(df: DataFrame) -> DataFrame:
     return df.select("image_id", "bytes").mapInPandas(run, schema)
 
 
-def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
-    """Video-style frame sampling stub: treats each image row as a 1-frame
-    clip; a real video codec is unavailable here, so sampling frames
-    beyond index 0 raises. The partitioning/UDF shape is the deliverable.
-    """
+def frame_sample(df: DataFrame, every_n: int = 2, n_frames_col: str | None = None) -> DataFrame:
+    """Video-style frame sampling: emit frame indices 0, every_n,
+    2*every_n, ... up to the clip's frame count. Without a frame-count
+    column each image row is a 1-frame clip (frame_idx 0 only — no real
+    video codec in this sandbox; the partitioning/UDF/batch shape is the
+    deliverable); pass n_frames_col to sample a synthetic multi-frame
+    clip. Frame BYTES beyond index 0 are the index-0 bytes (documented
+    stand-in for a decoder seek)."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
     schema = T.StructType(
         [
             T.StructField("image_id", T.StringType()),
@@ -158,14 +163,17 @@ def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
             T.StructField("bytes", T.BinaryType()),
         ]
     )
+    cols = ["image_id", "bytes"] + ([n_frames_col] if n_frames_col else [])
 
     def run(batches):
         for pdf in batches:
             rows = {"image_id": [], "frame_idx": [], "bytes": []}
-            for iid, blob in zip(pdf["image_id"], pdf["bytes"]):
-                rows["image_id"].append(iid)
-                rows["frame_idx"].append(0)
-                rows["bytes"].append(bytes(blob))
+            counts = pdf[n_frames_col] if n_frames_col else [1] * len(pdf)
+            for iid, blob, nf in zip(pdf["image_id"], pdf["bytes"], counts):
+                for idx in range(0, max(int(nf), 1), every_n):
+                    rows["image_id"].append(iid)
+                    rows["frame_idx"].append(idx)
+                    rows["bytes"].append(bytes(blob))
             yield pd.DataFrame(rows)
 
-    return df.select("image_id", "bytes").mapInPandas(run, schema)
+    return df.select(*cols).mapInPandas(run, schema)

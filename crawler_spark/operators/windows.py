@@ -31,7 +31,9 @@ def min_numeric_pick(
     (crawl.clj:361-380). Non-numeric rows are excluded."""
     numeric = df.filter(F.col(text_col).rlike("^[0-9]+$"))
     w = Window.partitionBy(*group_cols).orderBy(
-        F.col(text_col).cast("long").asc(), F.col(text_col).asc()
+        # try_cast: a >19-digit anchor text passes the digit regex but
+        # overflows an ANSI-mode cast — rank it by text instead of dying
+        F.col(text_col).try_cast("long").asc_nulls_last(), F.col(text_col).asc()
     )
     return numeric.withColumn(rank_col, F.row_number().over(w)).filter(
         F.col(rank_col) == 1
@@ -95,9 +97,22 @@ def weighted_pick_per_group(
             (F.pmod(F.min(F.xxhash64(*[F.col(c) for c in seed_cols])).over(w_all), F.lit(10**9))
              / F.lit(10**9)) * F.col("__tot"),
         )
-        .filter(F.col("__run") > F.col("__u"))
+        # all-zero-weight group: every __run == __u == 0, the strict
+        # comparison matches nothing and the group would silently vanish
+        # — the reference's sample always returns an element, so fall
+        # back to the first row in hash order
+        .withColumn(
+            "__rk", F.row_number().over(Window.partitionBy(*group_cols).orderBy(order))
+        )
+        .filter(
+            (F.col("__run") > F.col("__u"))
+            | ((F.col("__tot") == 0) & (F.col("__rk") == 1))
+        )
+        .drop("__rk")
     )
-    w_rank = Window.partitionBy(*group_cols).orderBy(F.col("__run").asc())
+    # tie-break equal running sums (zero-weight rows after the crossing
+    # point) by the same hash order — keeps the winner deterministic
+    w_rank = Window.partitionBy(*group_cols).orderBy(F.col("__run").asc(), order)
     return (
         d.withColumn("__rn", F.row_number().over(w_rank))
         .filter(F.col("__rn") == 1)

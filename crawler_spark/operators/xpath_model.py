@@ -63,7 +63,7 @@ def mean_variance_score(links: DataFrame) -> DataFrame:
     )
 
 
-def enum_candidate_score(links: DataFrame, df_counts: DataFrame | None = None) -> DataFrame:
+def enum_candidate_score(links: DataFrame) -> DataFrame:
     """A6: log(|hrefs|+10) / df per xpath (rank.clj:8-22; novelty/update
     factors default to 1 outside the incremental loop). df = number of
     distinct pages the xpath appears on."""
@@ -128,13 +128,14 @@ def pagination_candidates(links: DataFrame) -> DataFrame:
     with the smallest numeric text is the next-page candidate."""
     digits = links.filter(F.col("text").rlike("^[0-9]+$"))
     w = Window.partitionBy("page_url", "xpath").orderBy(
-        F.col("text").cast("long").asc(), F.col("pos").asc()
+        # try_cast: >19-digit anchor text would overflow ANSI cast
+        F.col("text").try_cast("long").asc_nulls_last(), F.col("pos").asc()
     )
     return (
         digits.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("page_url", "xpath", F.col("href").alias("next_href"),
-                F.col("text").cast("long").alias("page_no"))
+                F.col("text").try_cast("long").alias("page_no"))
     )
 
 
@@ -181,16 +182,58 @@ def signature_cosine(sig_a: DataFrame, sig_b: DataFrame) -> DataFrame:
     )
 
 
-def detect_pagination(links: DataFrame, min_cosine: float = 0.6) -> DataFrame:
+def detect_pagination(
+    links: DataFrame, min_cosine: float = 0.6, canonicalize_hrefs: bool = False
+) -> DataFrame:
     """Full pagination detection (corpus.clj:123-217): a (page, xpath)
     pair is a pagination control iff it has a digit-anchored candidate
     (the smallest-numeric pick) AND the link target's page signature is
     structurally similar to the source page (J6 candidate join +
     signature cosine ≥ threshold). Target pages are resolved by href
-    within the same link table."""
+    within the same link table.
+
+    The cosine is computed ONLY for the candidate (page, next_href)
+    pairs: a full signature_cosine(sig, sig) self-join explodes O(P²)
+    on templated sites where every page shares xpath keys with every
+    other — candidates bound the pair set to at most one per
+    (page, xpath) before any signature math happens.
+
+    canonicalize_hrefs=True resolves each candidate href against its
+    page url first — required for links from the real HTML front door,
+    where hrefs are relative/fragment-bearing and would never equal a
+    canonical page_url. Off by default for pre-resolved link tables."""
     cand = pagination_candidates(links)
+    if canonicalize_hrefs:
+        from ..canon import canonicalize_expr
+
+        cand = cand.withColumn(
+            "next_href", canonicalize_expr(F.col("next_href"), F.col("page_url"))
+        )
     sig = page_signature(links)
-    sim = signature_cosine(sig, sig)
+    e = sig.select("page_url", F.explode("signature").alias("k", "v"))
+    norms = e.groupBy("page_url").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    pairs = cand.select(
+        F.col("page_url").alias("pa"), F.col("next_href").alias("pb")
+    ).distinct()
+    dots = (
+        pairs.join(
+            e.select(F.col("page_url").alias("pa"), "k", F.col("v").alias("va")),
+            "pa",
+        )
+        .join(
+            e.select(F.col("page_url").alias("pb"), "k", F.col("v").alias("vb")),
+            ["pb", "k"],
+        )
+        .groupBy("pa", "pb")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    sim = (
+        dots.join(norms.select(F.col("page_url").alias("pa"), F.col("nrm").alias("na")), "pa")
+        .join(norms.select(F.col("page_url").alias("pb"), F.col("nrm").alias("nb")), "pb")
+        .withColumn("cosine", F.col("dot") / (F.col("na") * F.col("nb")))
+    )
     return (
         cand.join(
             sim,

@@ -55,14 +55,21 @@ _THROTTLE_STATE = T.StructType(
 )
 
 
-def _throttle_fn(quota: int):
+def _throttle_fn(quota: int, timeout_ms: int):
     def fn(key, pdf_iter, state: GroupState):
         (host,) = key
         backlog = list(state.get[0]) if state.exists else []
-        for pdf in pdf_iter:
-            backlog.extend(pdf["url"].tolist())
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                backlog.extend(pdf["url"].tolist())
         release, backlog = backlog[:quota], backlog[quota:]
         state.update((backlog,))
+        if backlog:
+            # re-arm: a host whose input goes quiet must still get
+            # invoked next interval to drain what it parked — with
+            # NoTimeout the state function only runs on NEW input for
+            # the host, so a one-burst backlog would starve forever
+            state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             {"host": host, "url": release, "released_in_batch": len(release)}
         )
@@ -70,14 +77,19 @@ def _throttle_fn(quota: int):
     return fn
 
 
-def stream_politeness_throttle(urls: DataFrame, quota_per_trigger: int = 5) -> DataFrame:
-    """Custom stateful operator: per-host token bucket. Each trigger emits
-    ≤ quota URLs per host (FIFO) and keeps the rest in group state —
-    the streaming form of politeness.dequeue."""
+def stream_politeness_throttle(
+    urls: DataFrame, quota_per_trigger: int = 5, drain_interval_ms: int = 1000
+) -> DataFrame:
+    """Custom stateful operator: per-host token bucket. Each invocation
+    emits ≤ quota URLs per host (FIFO) and keeps the rest in group
+    state; a processing-time timeout re-invokes hosts that still hold a
+    backlog even when no new URLs arrive for them — the streaming form
+    of politeness.dequeue (and the crawl-delay analog: one quota batch
+    per drain interval)."""
     return urls.groupBy("host").applyInPandasWithState(
-        _throttle_fn(quota_per_trigger),
+        _throttle_fn(quota_per_trigger, drain_interval_ms),
         outputStructType=_THROTTLE_OUT,
         stateStructType=_THROTTLE_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

@@ -55,18 +55,64 @@ def test_stream_politeness_throttle(spark, tmp_path):
         + '{"host": "h2", "url": "v0"}'
     )
     urls = spark.readStream.schema("host string, url string").json(str(src))
-    out = stream_politeness_throttle(urls, quota_per_trigger=5)
+    out = stream_politeness_throttle(urls, quota_per_trigger=5, drain_interval_ms=300)
     q = (
         out.writeStream.format("memory")
         .queryName("throttled")
         .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
         .start()
     )
-    _drain(q)
+    # poll: the timeout-armed query never quiesces for processAllAvailable
+    # while a backlog is pending, so wait for the full release instead
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.sql("select count(*) c from throttled").collect()[0].c == 8:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
     rows = spark.sql("select * from throttled").collect()
     per_host = {}
     for r in rows:
         per_host.setdefault(r.host, []).append(r.url)
-    # first trigger releases ≤5 per host; h1 backlog (2 urls) stays in state
-    assert len(per_host["h1"]) <= 5
+    # everything releases eventually, never more than quota per batch
+    assert sorted(per_host["h1"]) == sorted(f"u{i}" for i in range(7))
     assert per_host["h2"] == ["v0"]
+    assert all(r.released_in_batch <= 5 for r in rows)
+
+
+def test_stream_politeness_throttle_drains_backlog(spark, tmp_path):
+    """One burst larger than the quota must fully drain over subsequent
+    triggers via the processing-time timeout — with NoTimeout the state
+    function only ran on new input, so a quiet host starved forever."""
+    from crawler_spark.streaming import stream_politeness_throttle
+
+    src = tmp_path / "in3"
+    src.mkdir()
+    (src / "urls.json").write_text(
+        "\n".join(f'{{"host": "h1", "url": "u{i}"}}' for i in range(12))
+    )
+    urls = spark.readStream.schema("host string, url string").json(str(src))
+    out = stream_politeness_throttle(urls, quota_per_trigger=5, drain_interval_ms=300)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("drained")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("select count(*) c from drained").collect()[0].c
+            if n == 12:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert n == 12, f"backlog starved: only {n}/12 released"
+    per = spark.sql("select released_in_batch from drained").collect()
+    assert all(r.released_in_batch <= 5 for r in per)
