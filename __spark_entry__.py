@@ -884,32 +884,67 @@ def q_crawl_epoch_oracle(spark, sf_dir):
     )
 
 
+def _oracle_image_frame(spark, sf_dir, n_imgs=100):
+    """Deterministic image corpus whose pixels come from a SQL-expressible
+    integer formula over ``documents.doc_id`` — so DuckDB can restate the
+    expected DECODED output without ever seeing the bytes, while the
+    Spark side round-trips genuine encode → binary column → Arrow →
+    decode. doc_id % 10 == 9 reuses the previous doc's pixel field
+    (planted near-dup; fmt still differs png↔jpeg, so the pair survives
+    lossy quantization but is not byte-identical). Pixel field has 8×8
+    block structure (weights vary per image) so perceptual hashes are
+    well-separated across images and ~equal within a planted pair."""
+    from crawler_spark.multimodal import encode_pixels
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < n_imgs)
+    df = d.select(
+        F.col("doc_id"),
+        (F.col("doc_id") - F.when(F.col("doc_id") % 10 == 9, 1).otherwise(0)).alias("base"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit("jpeg")).otherwise(F.lit("png")).alias("fmt"),
+    )
+    df = (
+        df.withColumn("w", (F.lit(8) * (1 + F.col("base") % 3)).cast("int"))
+        .withColumn("h", (F.lit(8) * (1 + F.col("base") % 4)).cast("int"))
+        .withColumn("image_id", F.concat(F.lit("img-"), F.col("doc_id")))
+        .withColumn(
+            "pixels",
+            F.expr(
+                "transform(sequence(0, w*h - 1), k ->"
+                " ( ((k div w) * 8 div h) * (37 + (base*23) % 201)"
+                " + (((k % w) * 8 div w)) * (59 + (base*41) % 149)"
+                " + (k*7) % 11 ) % 256)"
+            ),
+        )
+    )
+    return encode_pixels(df)
+
+
 def q_image_neardup(spark, sf_dir):
-    """Image near-dup END-TO-END on real binary columns: decode bytes →
-    recompute the 64-bit perceptual hash from pixels (mapInPandas) →
-    banded Hamming pair join. Rows-only for the driver (the codec is the
-    documented sandbox stand-in, not DuckDB-restatable), but
-    tests/test_multimodal.py proves the recomputed phash equals the
-    corpus-side phash column bit-for-bit and the pair set equals the
-    column-math path's — an oracle by construction."""
+    """Image near-dup END-TO-END on real binary columns, ORACLED: encode
+    formula-pixels → decode bytes → recompute the 64-bit perceptual hash
+    from pixels (mapInPandas, 8×8 block means > image mean) → banded
+    Hamming pair join. DuckDB restates pixel formula → block/total sums →
+    the same 64 threshold bits → signed-int64 packing → all-pairs
+    Hamming ≤ 8, so the driver hash-checks the whole binary path; any
+    corruption in encode/decode/Arrow batching breaks the match.
+    tests/test_multimodal.py additionally proves the recomputed phash
+    equals the corpus-side phash column bit-for-bit."""
     from crawler_spark.multimodal.images import phash_udf_frame
     from crawler_spark.operators.dedup import phash_neardup_pairs
-    from crawler_spark.synth import SynthConfig, corpus_df
 
-    cfg = SynthConfig(n_pages=400, n_hosts=8, with_images=True)
-    corpus = corpus_df(spark, cfg).select("image_id", "bytes")
-    hashed = phash_udf_frame(corpus)
-    return phash_neardup_pairs(hashed, "phash2", "image_id", max_hamming=12)
+    hashed = phash_udf_frame(_oracle_image_frame(spark, sf_dir))
+    return phash_neardup_pairs(hashed, "phash2", "image_id", max_hamming=8)
 
 
 def q_image_decode_stats(spark, sf_dir):
-    """Multimodal decode over binary image column (rows-only: the codec
-    is the sandbox stub; plumbing is what's exercised)."""
+    """Multimodal decode over a REAL binary image column, ORACLED: the
+    mean/std come from exact integer pixel sums (see decode_stats), and
+    DuckDB recomputes them from the generative pixel formula — the bytes
+    themselves never reach the oracle, so a hash match certifies the
+    encode → binary → decode round-trip."""
     from crawler_spark.multimodal import decode_stats
-    from crawler_spark.synth import SynthConfig, corpus_df
 
-    cfg = SynthConfig(n_pages=100, n_hosts=5, with_images=True)
-    return decode_stats(corpus_df(spark, cfg))
+    return decode_stats(_oracle_image_frame(spark, sf_dir))
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -1264,6 +1299,82 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
         FROM sums GROUP BY 1
+    """
+    # image queries: restate the generative pixel formula (never the
+    # bytes) — px = ((br)*(37+(base*23)%201) + (bc)*(59+(base*41)%149)
+    # + (k*7)%11) % 256, jpeg quantizes to even; stats/phash recomputed
+    # from exact integer sums, so a hash match certifies the Spark-side
+    # encode → binary column → Arrow → decode round-trip end to end.
+    _IMG_PX_CTE = """
+        WITH imgs AS (
+          SELECT doc_id,
+                 doc_id - CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END AS base,
+                 CASE WHEN doc_id % 2 = 1 THEN 'jpeg' ELSE 'png' END AS fmt
+          FROM documents WHERE doc_id < 100
+        ),
+        dims AS (
+          SELECT doc_id, base, fmt,
+                 8*(1 + base % 3) AS w, 8*(1 + base % 4) AS h
+          FROM imgs
+        ),
+        praw AS (
+          SELECT d.doc_id, d.w, d.h, d.fmt,
+                 (t.k // d.w) * 8 // d.h AS br,
+                 (t.k % d.w) * 8 // d.w AS bc,
+                 ( ((t.k // d.w) * 8 // d.h) * (37 + (d.base*23) % 201)
+                 + ((t.k % d.w) * 8 // d.w) * (59 + (d.base*41) % 149)
+                 + (t.k*7) % 11 ) % 256 AS p
+          FROM dims d, LATERAL (SELECT unnest(range(0, d.w*d.h)) AS k) t
+        ),
+        px AS (
+          SELECT doc_id, w, h, fmt, br, bc,
+                 CASE WHEN fmt = 'jpeg' THEN p - (p % 2) ELSE p END AS q
+          FROM praw
+        )
+    """
+    sqls["image_decode_stats"] = _IMG_PX_CTE + """
+        , agg AS (
+          SELECT doc_id, w, h, fmt, COUNT(*) AS n,
+                 CAST(SUM(q) AS BIGINT) AS s, CAST(SUM(q*q) AS BIGINT) AS sq
+          FROM px GROUP BY 1, 2, 3, 4
+        )
+        SELECT 'img-' || doc_id AS image_id,
+               CAST(w AS INTEGER) AS dec_w, CAST(h AS INTEGER) AS dec_h,
+               fmt AS dec_fmt,
+               s / n AS mean_px,
+               sqrt((n*sq - s*s) / (n*n)) AS std_px
+        FROM agg
+    """
+    sqls["image_neardup"] = _IMG_PX_CTE + """
+        , tot AS (
+          SELECT doc_id, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS s
+          FROM px GROUP BY 1
+        ),
+        blk AS (
+          SELECT doc_id, br, bc, COUNT(*) AS bn, CAST(SUM(q) AS BIGINT) AS bs
+          FROM px GROUP BY 1, 2, 3
+        ),
+        bits AS (
+          SELECT b.doc_id, b.br*8 + b.bc AS idx,
+                 CASE WHEN (CAST(b.bs AS DOUBLE) / b.bn)
+                         > (CAST(t.s AS DOUBLE) / t.n)
+                      THEN 1 ELSE 0 END AS bit
+          FROM blk b JOIN tot t USING (doc_id)
+        ),
+        ph AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN bit = 1 THEN (1::HUGEINT << idx)
+                               ELSE 0::HUGEINT END)
+                      - CASE WHEN MAX(CASE WHEN idx = 63 AND bit = 1
+                                          THEN 1 ELSE 0 END) = 1
+                             THEN 18446744073709551616::HUGEINT
+                             ELSE 0::HUGEINT END AS BIGINT) AS ph
+          FROM bits GROUP BY 1
+        )
+        SELECT 'img-' || a.doc_id AS id_a, 'img-' || b.doc_id AS id_b,
+               CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+        FROM ph a JOIN ph b ON 'img-' || a.doc_id < 'img-' || b.doc_id
+        WHERE bit_count(xor(a.ph, b.ph)) <= 8
     """
     sqls["phash_neardup"] = """
         WITH ph AS (SELECT doc_id,

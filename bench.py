@@ -285,6 +285,28 @@ def main():
         "crawl_engine_trials_sec": [round(t, 3) for t in crawl_trials],
         "frontier_batch_rows_per_sec": round(batch_rows / batch_dt, 1),
     }
+    # surface the recorded N→4N scaling measurements (produced by
+    # scripts/scaling_bench.py — too long to rerun inside bench.py);
+    # north_rule asks for throughput at two parallelism levels plus
+    # efficiency, so they ride along in the one-line JSON
+    scaling = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname, label in (
+        ("scaling_result_2to8.json", "local2_to_local8"),
+        ("scaling_result.json", "local4_to_local16"),
+    ):
+        try:
+            with open(os.path.join(here, fname)) as f:
+                r = json.load(f)
+            scaling[label] = {
+                "efficiency": r["scaling_efficiency_Nto4N"],
+                "control_efficiency": r["control_efficiency_Nto4N"],
+                "speedup": r["speedup_N_to_4N"],
+            }
+        except (OSError, KeyError, ValueError):
+            pass
+    if scaling:
+        out["scaling_Nto4N"] = scaling
     print(json.dumps(out))
     spark.stop()
 

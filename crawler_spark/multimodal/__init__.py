@@ -1,5 +1,6 @@
 from .images import (  # noqa: F401
     decode_stats,
+    encode_pixels,
     phash_udf_frame,
     psnr,
     resize_images,

@@ -72,22 +72,65 @@ _STATS_SCHEMA = T.StructType(
 
 def decode_stats(df: DataFrame) -> DataFrame:
     """Decode + per-image pixel stats via ``mapInPandas`` (one Arrow batch
-    in, one out; pure per-partition work, embarrassingly parallel)."""
+    in, one out; pure per-partition work, embarrassingly parallel).
+
+    mean/std are computed from EXACT integer pixel sums (sum and
+    sum-of-squares fit well under 2^53, so ``s/n`` and
+    ``sqrt((n*sq - s*s)/(n*n))`` are single correctly-rounded IEEE ops) —
+    bit-identical to any engine restating the same formula, which is what
+    lets the driver's DuckDB oracle hash-match this query."""
 
     def run(batches):
+        import math
+
         for pdf in batches:
             out = {k: [] for k in ("image_id", "dec_w", "dec_h", "dec_fmt", "mean_px", "std_px")}
             for iid, blob in zip(pdf["image_id"], pdf["bytes"]):
                 pix, fmt = sgi_decode(bytes(blob))
+                n = pix.size
+                s = int(pix.sum(dtype=np.int64))
+                sq = int((pix.astype(np.int64) ** 2).sum(dtype=np.int64))
                 out["image_id"].append(iid)
                 out["dec_h"].append(pix.shape[0])
                 out["dec_w"].append(pix.shape[1])
                 out["dec_fmt"].append(fmt)
-                out["mean_px"].append(float(pix.mean()))
-                out["std_px"].append(float(pix.std()))
+                out["mean_px"].append(s / n)
+                out["std_px"].append(math.sqrt((n * sq - s * s) / (n * n)))
             yield pd.DataFrame(out)
 
     return df.select("image_id", "bytes").mapInPandas(run, _STATS_SCHEMA)
+
+
+_ENCODE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+    ]
+)
+
+
+def encode_pixels(df: DataFrame) -> DataFrame:
+    """JVM-generated pixels → real binary column: (image_id,
+    pixels:array<int> row-major, w, h, fmt) → (image_id, bytes) through
+    the codec, via ``mapInPandas``. Lets a query synthesize images with
+    SQL-expressible pixel formulas (so DuckDB can restate the expected
+    decode output without ever seeing the bytes) while the Spark side
+    still round-trips genuine encode → binary → Arrow → decode."""
+
+    def run(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for iid, pixels, w, h, fmt in zip(
+                pdf["image_id"], pdf["pixels"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                pix = np.asarray(pixels, dtype=np.int64).astype(np.uint8)
+                ids.append(iid)
+                blobs.append(sgi_encode(pix.reshape(int(h), int(w)), fmt))
+            yield pd.DataFrame({"image_id": ids, "bytes": blobs})
+
+    return df.select("image_id", "pixels", "w", "h", "fmt").mapInPandas(
+        run, _ENCODE_SCHEMA
+    )
 
 
 _RESIZE_SCHEMA = T.StructType(
