@@ -884,6 +884,74 @@ def q_crawl_epoch_oracle(spark, sf_dir):
     )
 
 
+def q_harvest_step_oracle(spark, sf_dir):
+    """One model-driven harvest scheduling step (E3, reference
+    execute-model: crawl.clj:246-530, execute.clj:10-58), DRIVER-ORACLED:
+    the same epoch chain as `crawl_epoch_oracle` plus the harvest
+    automaton's link classification — a link survives only if the
+    learned model covers its xpath (content action) or it is a
+    digit-anchor on a pagination xpath (paging queue, chased before
+    content); everything else is dropped as outside the plan. Predicate
+    identical to engine.run_epoch's harvest branch (engine.py:449-461);
+    the multi-epoch automaton keeps its exact-parity gate in
+    tests/test_cli.py::test_execute_model_parity."""
+    from crawler_spark import politeness
+
+    model_xp, paging_xp = ["xp0", "xp2"], ["xpnav", "xp3"]
+    # frontier bound 120, with pages 1 and 7 withheld: every nav-anchor
+    # (xpnav) pagination link targets page doc_id % 20, so with a full
+    # 0..119 frontier the anti-join would drop them all — withholding
+    # two pages makes the paging queue non-vacuous (targets p/1, p/7)
+    d = _read(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 120) & ~F.col("doc_id").isin(1, 7)
+    )
+    frontier = d.select(
+        F.col("doc_id"),
+        (F.col("doc_id") % N_HOSTS).alias("host"),
+        _url_expr(F.col("doc_id"), F.col("doc_id") % N_HOSTS).alias("url"),
+        F.col("doc_id").alias("insertion_seq"),
+        F.lit("content").alias("queue"),
+        F.lit(None).cast("string").alias("src_xpath"),
+    )
+    robots = spark.createDataFrame(
+        [
+            (h, ["/p/1"] if h % 4 == 0 else [], 1000 * (1 + h % 3))
+            for h in range(N_HOSTS)
+        ],
+        "host long, disallow_prefixes array<string>, crawl_delay_ms long",
+    )
+    allowed, _dis = politeness.robots_filter(frontier, robots)
+    selected, _rest = politeness.dequeue(allowed, robots, epoch_ms=20000)
+
+    links = _links_df(spark, sf_dir).filter(
+        ~F.col("is_js") & ~F.col("nofollow") & (F.col("tgt_host") == F.col("src_host"))
+    )
+    cand = links.join(
+        selected.select(F.col("doc_id"), F.col("insertion_seq").alias("src_seq")),
+        "doc_id",
+    )
+    is_digit = F.coalesce(F.col("text"), F.lit("")).rlike("^[0-9]+$")
+    keep_paging = is_digit & F.col("xpath").isin(paging_xp)
+    keep_content = ~keep_paging & F.col("xpath").isin(model_xp)
+    cand = cand.filter(keep_paging | keep_content).withColumn(
+        "queue", F.when(keep_paging, F.lit("paging")).otherwise(F.lit("content"))
+    )
+    w_first = Window.partitionBy("href").orderBy("src_seq", "j")
+    first = (
+        cand.withColumn("__rn", F.row_number().over(w_first))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    new = first.join(frontier.select("url"), first.href == F.col("url"), "left_anti")
+    w_seq = Window.orderBy("src_seq", "j")
+    return new.select(
+        F.col("href").alias("url"),
+        F.col("doc_id").alias("src_doc"),
+        F.col("queue"),
+        (F.row_number().over(w_seq) - 1).cast("long").alias("new_seq"),
+    )
+
+
 def _oracle_image_frame(spark, sf_dir, n_imgs=100):
     """Deterministic image corpus whose pixels come from a SQL-expressible
     integer formula over ``documents.doc_id`` — so DuckDB can restate the
@@ -1028,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extract": q_link_extract,
         "html_extract": q_html_extract,
         "crawl_epoch_oracle": q_crawl_epoch_oracle,
+        "harvest_step_oracle": q_harvest_step_oracle,
         "rtdm_consec": q_rtdm_consec,
         "url_seen_antijoin": q_url_seen_antijoin,
         "politeness_quota": q_politeness_quota,
@@ -1698,6 +1767,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.* FROM first_w f
             WHERE NOT EXISTS (SELECT 1 FROM frontier fr WHERE fr.url = f.href))
         SELECT href AS url, doc_id AS src_doc,
+               CAST(row_number() OVER (ORDER BY src_seq, j) - 1 AS BIGINT) AS new_seq
+        FROM new
+    """
+    # harvest_step_oracle: the same epoch chain + the execute-model
+    # automaton's link classification (engine.py:449-461) — digit-anchor
+    # on a pagination xpath → paging queue; model-covered xpath →
+    # content; everything else dropped as outside the learned plan.
+    sqls["harvest_step_oracle"] = f"""
+        WITH {_LINKS_CTE.strip().lstrip('WITH').strip()},
+        frontier AS (
+            SELECT doc_id, doc_id % {N_HOSTS} AS host,
+                   'http://host' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+                     || '.test/p/' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents WHERE doc_id < 120 AND doc_id NOT IN (1, 7)),
+        allowed AS (
+            SELECT * FROM frontier
+            WHERE NOT (host % 4 = 0
+                       AND starts_with('/p/' || CAST(doc_id AS VARCHAR), '/p/1'))),
+        sel AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, host,
+                       row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+                FROM allowed)
+            WHERE rn <= 20000 // (1000 * (1 + host % 3))),
+        cand AS (
+            SELECT l.doc_id, l.j, l.doc_id AS src_seq, l.text, l.xpath,
+                   'http://host' || CAST(l.tgt_host AS VARCHAR)
+                     || '.test/p/' || CAST(l.tgt AS VARCHAR) AS href,
+                   regexp_full_match(coalesce(l.text, ''), '[0-9]+')
+                     AND l.xpath IN ('xpnav', 'xp3') AS keep_paging,
+                   NOT (regexp_full_match(coalesce(l.text, ''), '[0-9]+')
+                        AND l.xpath IN ('xpnav', 'xp3'))
+                     AND l.xpath IN ('xp0', 'xp2') AS keep_content
+            FROM links l JOIN sel s ON s.doc_id = l.doc_id
+            WHERE NOT l.is_js AND NOT l.nofollow AND l.tgt_host = l.src_host),
+        klass AS (
+            SELECT doc_id, j, src_seq, href,
+                   CASE WHEN keep_paging THEN 'paging' ELSE 'content' END AS queue
+            FROM cand WHERE keep_paging OR keep_content),
+        first_w AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY href
+                                             ORDER BY src_seq, j) AS rn
+                FROM klass)
+            WHERE rn = 1),
+        new AS (
+            SELECT f.* FROM first_w f
+            WHERE NOT EXISTS (SELECT 1 FROM frontier fr WHERE fr.url = f.href))
+        SELECT href AS url, doc_id AS src_doc, queue,
                CAST(row_number() OVER (ORDER BY src_seq, j) - 1 AS BIGINT) AS new_seq
         FROM new
     """
