@@ -67,6 +67,13 @@ class EngineConfig:
     # stop before an epoch once cumulative fetched leaf pages ≥ limit
     leaf_limit: int | None = None
     use_bloom: bool = True
+    # which approximate membership structure fronts the exact anti-join:
+    # "bloom" (OR-mergeable bitmaps, seen.py) or "cuckoo" (deletable
+    # fingerprint slots, cuckoo.py — the north_rule's bloom/cuckoo
+    # alternative). Both are traffic reducers only; membership stays
+    # exact. use_bloom=False disables the prefilter entirely.
+    seen_filter: str = "bloom"
+    cuckoo_n_buckets: int = 1 << 14  # 16k buckets × 4 slots = 128 KiB
     checkpoint_dir: str | None = None
     keep_snapshots: int = 3  # older snapshots pruned (Iceberg expire analog)
     # snapshot cadence: 1 = every epoch (default, finest resumability);
@@ -216,6 +223,16 @@ class CrawlEngine:
         d = self._snap_dir(epoch)
         with open(os.path.join(d, "manifest.json")) as f:
             self._manifest = json.load(f)
+        # the segments table's bytes are filter-kind-specific; a bloom
+        # read of cuckoo bytes (or a prefilter read of an empty no-filter
+        # table) would silently produce wrong membership answers
+        have = self._manifest.get("seen_filter", "bloom")
+        want = self._filter_kind()
+        if have != want:
+            raise ValueError(
+                f"snapshot was written with seen_filter={have!r}; engine is "
+                f"configured with {want!r} — resume with the matching config"
+            )
         for name in _STATE_TABLES:
             self._state[name] = self.spark.read.parquet(os.path.join(d, name))
         # the loaded epoch IS committed — without this, a run() that
@@ -262,7 +279,7 @@ class CrawlEngine:
         self._state = {
             "frontier": frontier,
             "url_seen": url_seen,
-            "segments": build_segments(url_seen, None, cfg.bloom_m_bits)
+            "segments": self._build_segments(url_seen, None)
             if cfg.use_bloom
             else self.spark.createDataFrame([], "partition_id int, bits binary, n_items long"),
             "crawl_order": spark.createDataFrame([], CRAWL_ORDER_SCHEMA),
@@ -273,8 +290,37 @@ class CrawlEngine:
         }
         self._manifest = {
             "epoch": -1, "next_seq": n_seeds, "dequeue_seq": 0, "leaves_fetched": 0,
-            "pending": n_seeds,
+            "pending": n_seeds, "seen_filter": self._filter_kind(),
         }
+
+    def _filter_kind(self) -> str:
+        return self.cfg.seen_filter if self.cfg.use_bloom else "none"
+
+    def _build_segments(self, new_rows, existing):
+        """Dispatch to the configured seen-prefilter family (bloom
+        bitmaps or deletable cuckoo fingerprints) — identical segment
+        table shape either way."""
+        if self.cfg.seen_filter == "cuckoo":
+            from .cuckoo import build_cuckoo_segments
+
+            return build_cuckoo_segments(new_rows, existing, self.cfg.cuckoo_n_buckets)
+        return build_segments(new_rows, existing, self.cfg.bloom_m_bits)
+
+    def _anti_join_seen(self, candidates, broadcast_probe):
+        segments = self._state["segments"] if self.cfg.use_bloom else None
+        if self.cfg.seen_filter == "cuckoo":
+            from .cuckoo import cuckoo_anti_join_seen
+
+            return cuckoo_anti_join_seen(
+                candidates, self._state["url_seen"], segments, broadcast_probe
+            )
+        return anti_join_seen(
+            candidates,
+            self._state["url_seen"],
+            segments,
+            self.cfg.bloom_m_bits,
+            broadcast_probe,
+        )
 
     def _assign_seq(self, df, order_cols, seq_col, start, n_rows):
         """Sequence assignment: single-partition window for batches that
@@ -495,13 +541,7 @@ class CrawlEngine:
             )
 
         scan_only = next_seq > cfg.scan_only_seen_rows
-        survivors_raw = anti_join_seen(
-            candidates,
-            self._state["url_seen"],
-            self._state["segments"] if cfg.use_bloom else None,
-            cfg.bloom_m_bits,
-            broadcast_probe=scan_only,
-        )
+        survivors_raw = self._anti_join_seen(candidates, broadcast_probe=scan_only)
         survivors_raw.persist()
         n_new = survivors_raw.count()  # the ONE action: fires both observations
         n_fetched, n_leaves = obs_fetch.get["n"], obs_fetch.get["lv"]
@@ -534,20 +574,16 @@ class CrawlEngine:
                     "partition_id", bucket_expr(F.col("url_hash"), cfg.n_seen_buckets)
                 )
             )
-            closure_new = anti_join_seen(
-                closure_urls,
-                self._state["url_seen"],
-                self._state["segments"] if cfg.use_bloom else None,
-                cfg.bloom_m_bits,
-                broadcast_probe=scan_only,
+            closure_new = self._anti_join_seen(
+                closure_urls, broadcast_probe=scan_only
             ).join(new_seen.select("url"), "url", "left_anti")
             new_seen = new_seen.unionByName(
                 closure_new.select("partition_id", "url_hash", "url")
             )
         self._state["url_seen"] = self._state["url_seen"].unionByName(new_seen)
         if cfg.use_bloom:
-            self._state["segments"] = build_segments(
-                new_seen, self._state["segments"], cfg.bloom_m_bits
+            self._state["segments"] = self._build_segments(
+                new_seen, self._state["segments"]
             )
         self._state["frontier"] = rest.select(*[f.name for f in FRONTIER_SCHEMA]).unionByName(
             new_frontier_rows
