@@ -233,6 +233,48 @@ def build_cuckoo_segments(
     )
 
 
+def delete_from_cuckoo_segments(
+    segments: DataFrame,
+    expired_rows: DataFrame,
+) -> DataFrame:
+    """Remove the fingerprints of *expired_rows* (url_seen-shaped:
+    partition_id, url_hash) from their segments — the deletion capability
+    the engine's TTL-recrawl path needs and bloom bitmaps cannot offer.
+    Segments with no expired rows pass through byte-identical; the whole
+    operation is O(expired) like the insert merge."""
+
+    def dele(key, rows: pd.DataFrame, seg: pd.DataFrame) -> pd.DataFrame:
+        if len(seg) == 0:  # expired rows for a bucket with no segment
+            return pd.DataFrame(
+                {
+                    "partition_id": pd.Series([], dtype="int32"),
+                    "bits": pd.Series([], dtype=object),
+                    "n_items": pd.Series([], dtype="int64"),
+                }
+            )
+        blob = bytes(seg["bits"].iloc[0])
+        n = int(seg["n_items"].iloc[0])
+        if len(rows) == 0:
+            return pd.DataFrame(
+                {"partition_id": [int(key[0])], "bits": [blob], "n_items": [n]}
+            )
+        slots, stash = decode_segment(blob)
+        stash = delete(slots, stash, rows["url_hash"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "partition_id": [int(key[0])],
+                "bits": [encode_segment(slots, stash)],
+                "n_items": [max(0, n - len(rows))],
+            }
+        )
+
+    return (
+        expired_rows.groupBy("partition_id")
+        .cogroup(segments.groupBy("partition_id"))
+        .applyInPandas(dele, BLOOM_SEGMENT_SCHEMA)
+    )
+
+
 def cuckoo_anti_join_seen(
     candidates: DataFrame,
     url_seen: DataFrame,

@@ -74,6 +74,14 @@ class EngineConfig:
     # exact. use_bloom=False disables the prefilter entirely.
     seen_filter: str = "bloom"
     cuckoo_n_buckets: int = 1 << 14  # 16k buckets × 4 slots = 128 KiB
+    # TTL recrawl: pages last scheduled at epoch X expire at epoch X+T —
+    # they leave URL-seen (and the prefilter), so a later re-discovery
+    # crawls them fresh. Expiry does NOT re-enqueue: a page nobody links
+    # to again is never recrawled. With cuckoo segments expiry is an
+    # O(expired) fingerprint delete; with bloom (bits can't be unset)
+    # the segments are rebuilt from the surviving seen set — the cost
+    # asymmetry that motivates the cuckoo family.
+    recrawl_ttl_epochs: int | None = None
     checkpoint_dir: str | None = None
     keep_snapshots: int = 3  # older snapshots pruned (Iceberg expire analog)
     # snapshot cadence: 1 = every epoch (default, finest resumability);
@@ -333,6 +341,54 @@ class CrawlEngine:
             )
         return with_global_seq(df, order_cols, seq_col, start)
 
+    def _expire_seen(self, expire_epoch: int) -> None:
+        """TTL expiry: drop from URL-seen every url whose LATEST
+        scheduling was at *expire_epoch*. The candidate set is one
+        epoch's quota-bounded batch (broadcastable, like the fetch
+        join); the not-rescheduled-since check scans only the
+        ttl-window's epochs of crawl_order (epoch-pruned filters), never
+        a full-history groupBy."""
+        co = self._state["crawl_order"]
+        at_x = co.filter(F.col("epoch") == expire_epoch).select("url").distinct()
+        later = co.filter(F.col("epoch") > expire_epoch).select("url")
+        expired = at_x.join(later, "url", "left_anti").persist()
+        try:
+            if expired.count() == 0:
+                return
+            self._state["url_seen"] = self._state["url_seen"].join(
+                F.broadcast(expired), "url", "left_anti"
+            )
+            if self.cfg.use_bloom:
+                if self.cfg.seen_filter == "cuckoo":
+                    from .cuckoo import delete_from_cuckoo_segments
+
+                    keys = expired.withColumn(
+                        "url_hash", F.xxhash64("url")
+                    ).withColumn(
+                        "partition_id",
+                        bucket_expr(F.col("url_hash"), self.cfg.n_seen_buckets),
+                    )
+                    self._state["segments"] = delete_from_cuckoo_segments(
+                        self._state["segments"], keys
+                    )
+                else:
+                    # bloom bits can't be unset: rebuild from survivors
+                    self._state["segments"] = build_segments(
+                        self._state["url_seen"], None, self.cfg.bloom_m_bits
+                    )
+            if self._alias_map is not None:
+                # an expired page must re-extract on refetch, not count
+                # as a redirect-cache hit
+                self._state["extracted"] = self._state["extracted"].join(
+                    F.broadcast(expired), "url", "left_anti"
+                )
+            # pin the expiry result: the seen/segments lineage must not
+            # re-evaluate the anti-joins per downstream action
+            for name in ("url_seen", "segments", "extracted"):
+                self._state[name] = self._state[name].localCheckpoint(eager=False)
+        finally:
+            self._pending_unpersist.append(expired)
+
     def run_epoch(self) -> dict:
         """One scheduling epoch; returns this epoch's metrics row."""
         cfg = self.cfg
@@ -340,6 +396,9 @@ class CrawlEngine:
         epoch = self._manifest["epoch"] + 1
         next_seq = self._manifest["next_seq"]
         dequeue_seq = self._manifest["dequeue_seq"]
+
+        if cfg.recrawl_ttl_epochs is not None and epoch - cfg.recrawl_ttl_epochs >= 0:
+            self._expire_seen(epoch - cfg.recrawl_ttl_epochs)
 
         frontier = self._state["frontier"]
         flagged = politeness.with_disallowed_flag(frontier, self.robots).persist()

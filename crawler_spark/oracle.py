@@ -64,6 +64,7 @@ def crawl_oracle(
     content_dup_stop: int | None = None,
     model_xpaths: set | None = None,
     paging_xpaths: set = frozenset(),
+    recrawl_ttl_epochs: int | None = None,
 ) -> OracleResult:
     import re
 
@@ -108,6 +109,7 @@ def crawl_oracle(
     neardups_total = 0
     content_seen: set = set()
     extracted: set = set()
+    last_scheduled: dict = {}  # url → latest epoch it was dequeued
     for epoch in range(max_epochs):
         if not frontier or (max_pages is not None and dequeue_seq >= max_pages):
             break
@@ -115,6 +117,16 @@ def crawl_oracle(
             break
         if content_dup_stop is not None and neardups_total >= content_dup_stop:
             break
+        if recrawl_ttl_epochs is not None and epoch - recrawl_ttl_epochs >= 0:
+            # TTL expiry (engine EngineConfig.recrawl_ttl_epochs): urls
+            # last scheduled exactly ttl epochs ago leave URL-seen (and
+            # the extracted cache) — re-discovery recrawls them fresh;
+            # no re-enqueue
+            expire_epoch = epoch - recrawl_ttl_epochs
+            for u, e in last_scheduled.items():
+                if e == expire_epoch:
+                    res.url_seen.discard(u)
+                    extracted.discard(u)
         # robots filter first (engine order: robots_filter → dequeue)
         def is_disallowed(entry):
             # mirror politeness.with_disallowed_flag: strip scheme +
@@ -168,6 +180,7 @@ def crawl_oracle(
         new_entries = []
         for entry in selected:  # already in ascending insertion_seq order
             res.crawl_order.append((dequeue_seq, entry["url"], epoch, entry["host"]))
+            last_scheduled[entry["url"]] = epoch
             dequeue_seq += 1
             page = by_url.get(entry["url"]) or by_alias.get(entry["url"])
             if page is None:
