@@ -952,6 +952,27 @@ def q_harvest_step_oracle(spark, sf_dir):
     )
 
 
+def q_ttl_expiry_oracle(spark, sf_dir):
+    """TTL recrawl expiry selection (engine.expired_urls, the operator
+    behind EngineConfig.recrawl_ttl_epochs): given a scheduling history,
+    return urls whose LATEST scheduling was exactly the expiry epoch —
+    an epoch-pruned anti-join, never a full-history groupBy-max. History
+    here: every doc scheduled at epoch doc_id % 5; docs with
+    doc_id % 7 == 0 rescheduled later at epoch doc_id % 5 + 2. The
+    multi-epoch expiry semantics (seen removal, cuckoo fingerprint
+    delete, refetch) keep their exact-parity gate in
+    tests/test_recrawl_ttl.py."""
+    from crawler_spark.engine import expired_urls
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    url = _url_expr(F.col("doc_id"), F.col("doc_id") % N_HOSTS).alias("url")
+    base = d.select(url, (F.col("doc_id") % 5).cast("int").alias("epoch"))
+    resched = d.filter(F.col("doc_id") % 7 == 0).select(
+        url, (F.col("doc_id") % 5 + 2).cast("int").alias("epoch")
+    )
+    return expired_urls(base.unionByName(resched), 3)
+
+
 def _oracle_image_frame(spark, sf_dir, n_imgs=100):
     """Deterministic image corpus whose pixels come from a SQL-expressible
     integer formula over ``documents.doc_id`` — so DuckDB can restate the
@@ -1097,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "crawl_epoch_oracle": q_crawl_epoch_oracle,
         "harvest_step_oracle": q_harvest_step_oracle,
+        "ttl_expiry_oracle": q_ttl_expiry_oracle,
         "rtdm_consec": q_rtdm_consec,
         "url_seen_antijoin": q_url_seen_antijoin,
         "politeness_quota": q_politeness_quota,
@@ -1769,6 +1791,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT href AS url, doc_id AS src_doc,
                CAST(row_number() OVER (ORDER BY src_seq, j) - 1 AS BIGINT) AS new_seq
         FROM new
+    """
+    # ttl_expiry_oracle: urls last scheduled exactly at the expiry epoch
+    # (scheduled there, never rescheduled after) — engine.expired_urls.
+    sqls["ttl_expiry_oracle"] = f"""
+        WITH co AS (
+            SELECT 'http://host' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+                     || '.test/p/' || CAST(doc_id AS VARCHAR) AS url,
+                   doc_id % 5 AS epoch
+            FROM documents WHERE doc_id < 400
+            UNION ALL
+            SELECT 'http://host' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+                     || '.test/p/' || CAST(doc_id AS VARCHAR) AS url,
+                   doc_id % 5 + 2 AS epoch
+            FROM documents WHERE doc_id < 400 AND doc_id % 7 = 0),
+        at_x AS (SELECT DISTINCT url FROM co WHERE epoch = 3)
+        SELECT a.url FROM at_x a
+        WHERE NOT EXISTS (SELECT 1 FROM co WHERE co.url = a.url AND co.epoch > 3)
     """
     # harvest_step_oracle: the same epoch chain + the execute-model
     # automaton's link classification (engine.py:449-461) — digit-anchor

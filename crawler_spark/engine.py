@@ -125,6 +125,16 @@ _STATE_TABLES = (
 )
 
 
+def expired_urls(crawl_order: DataFrame, expire_epoch: int) -> DataFrame:
+    """Urls whose LATEST scheduling was exactly *expire_epoch* — the TTL
+    expiry candidate set. The not-rescheduled-since check scans only the
+    epochs after *expire_epoch* (epoch-pruned filters on an epoch-
+    partitioned history at scale), never a full-history groupBy-max."""
+    at_x = crawl_order.filter(F.col("epoch") == expire_epoch).select("url").distinct()
+    later = crawl_order.filter(F.col("epoch") > expire_epoch).select("url")
+    return at_x.join(later, "url", "left_anti")
+
+
 class CrawlEngine:
     def __init__(
         self,
@@ -345,13 +355,8 @@ class CrawlEngine:
         """TTL expiry: drop from URL-seen every url whose LATEST
         scheduling was at *expire_epoch*. The candidate set is one
         epoch's quota-bounded batch (broadcastable, like the fetch
-        join); the not-rescheduled-since check scans only the
-        ttl-window's epochs of crawl_order (epoch-pruned filters), never
-        a full-history groupBy."""
-        co = self._state["crawl_order"]
-        at_x = co.filter(F.col("epoch") == expire_epoch).select("url").distinct()
-        later = co.filter(F.col("epoch") > expire_epoch).select("url")
-        expired = at_x.join(later, "url", "left_anti").persist()
+        join)."""
+        expired = expired_urls(self._state["crawl_order"], expire_epoch).persist()
         try:
             if expired.count() == 0:
                 return
