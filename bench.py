@@ -81,12 +81,14 @@ def crawl_engine_bench(spark, n_pages=30_000, epochs=5):
         for k in range(4)
         if bounds[h] + k < bounds[h + 1]
     ]
-    # best-of-2 trials: the co-tenant box swings single-trial engine-loop
-    # wall time by ±25% (observed 44-62 s same-day, same code); min-of-2
-    # is the round-to-round comparable number
+    # best-of-3 trials: the co-tenant box swings single-trial engine-loop
+    # wall time by ±25% (observed 44-62 s same-day, same code; a bad
+    # window can even hit BOTH of two back-to-back trials — observed
+    # 61.8/60.1 in one suite run vs 39.5/35.6 standalone minutes later);
+    # min-of-3 is the round-to-round comparable number
     trials = []
     scheduled = fetched = 0
-    for _ in range(2):
+    for _ in range(3):
         ck = _scratch("bench-ck-")
         eng = CrawlEngine(
             spark, corpus, robots,
