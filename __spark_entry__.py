@@ -263,6 +263,42 @@ def q_tumbling_hourly(spark, sf_dir):
     )
 
 
+def q_stream_tumbling_hourly(spark, sf_dir):
+    """§2.10 driver-oracled THROUGH Structured Streaming: the same
+    hourly tumbling aggregate as tumbling_hourly, but executed as a real
+    streaming query (parquet file source → window() agg → memory sink,
+    Trigger.AvailableNow). Complete output mode makes every window emit
+    deterministically regardless of watermark progress, so the batch
+    DuckDB oracle hashes it exactly. Reference: the loop-state counters
+    of crawl.clj:323 as a continuous query."""
+    import uuid
+
+    from crawler_spark.streaming.frontier_stream import stream_tumbling_hourly
+
+    import shutil
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file-stream source wants a directory (basePath), so stage the
+    # single parquet file into scratch — on a cluster this would be the
+    # landing directory new fetch-result files arrive in
+    stage = tempfile.mkdtemp(prefix="stream_events_")
+    shutil.copy(path, stage)
+    src = spark.readStream.schema(schema).parquet(stage)
+    name = "stream_hourly_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_tumbling_hourly(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_json_props(spark, sf_dir):
     """Semi-structured column handling: parse events.props JSON, bucket
     by its 'k' field (the schemaless-map part of the reference's data
@@ -1092,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_ranked": q_count_ranked,
         "first_event_per_user": q_first_event_per_user,
         "tumbling_hourly": q_tumbling_hourly,
+        "stream_tumbling_hourly": q_stream_tumbling_hourly,
         "sessionize": q_sessionize,
         "json_props": q_json_props,
         # text analysis
@@ -1218,6 +1255,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events) WHERE rn = 1
     """
     sqls["tumbling_hourly"] = """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_fp
+        FROM events GROUP BY 1, 2
+    """
+    sqls["stream_tumbling_hourly"] = """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
                event_type,
                COUNT(*) AS n,

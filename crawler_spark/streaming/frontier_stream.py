@@ -38,6 +38,33 @@ def stream_windowed_counts(events: DataFrame, window: str = "10 seconds",
     )
 
 
+def stream_tumbling_hourly(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``tumbling_hourly`` contract query:
+    event-time 1-hour tumbling windows per event_type, count + fixed-point
+    value sum. ``F.window`` aligns 1-hour windows to the epoch, so
+    ``win.start == date_trunc('hour', ts)`` and the output is bit-identical
+    to the batch aggregate — which is exactly what lets the driver hash it
+    against the same DuckDB oracle. win_start is emitted as a formatted
+    string (round-1 lesson: timestamps don't survive every normalizer)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias(
+                "sum_value_fp"
+            ),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value_fp",
+        )
+    )
+
+
 def stream_host_rates(events: DataFrame) -> DataFrame:
     """Running per-host totals (complete-mode aggregate)."""
     return events.groupBy("host").agg(F.count("*").alias("total_urls"))

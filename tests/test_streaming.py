@@ -44,6 +44,21 @@ def test_stream_windowed_counts(spark, tmp_path):
     assert got[("2026-01-01 00:00:10", "h2")] == 1
 
 
+def test_stream_tumbling_hourly_matches_batch(spark):
+    """The streaming tumbling aggregate must be bit-identical to its
+    batch twin on the same events table — that identity is what lets the
+    driver hash the streaming query against the batch DuckDB oracle."""
+    import __spark_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        tuple(r)
+        for r in entry.q_stream_tumbling_hourly(spark, sf_dir).collect()
+    }
+    want = {tuple(r) for r in entry.q_tumbling_hourly(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
+
+
 def test_stream_politeness_throttle(spark, tmp_path):
     from crawler_spark.streaming import stream_politeness_throttle
 
