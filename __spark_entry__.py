@@ -802,14 +802,25 @@ def q_crawl_epoch(spark, sf_dir):
     from crawler_spark.synth import SynthConfig, corpus_df, robots_rows, seed_urls
     import tempfile
 
+    import os
+
     cfg = SynthConfig(n_pages=300, n_hosts=8, with_images=False)
     corpus = corpus_df(spark, cfg)
     robots = spark.createDataFrame(robots_rows(cfg), ROBOTS_SCHEMA)
+    # contract-run economics: tmpfs checkpoint (the sandbox NVMe fsyncs
+    # at ~1.3 ms), single exit commit, no extra metrics scan — none of
+    # these change crawl_order (parity tests run the detailed path)
+    scratch = tempfile.mkdtemp(
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
     eng = CrawlEngine(
         spark,
         corpus,
         robots,
-        EngineConfig(max_epochs=2, epoch_ms=8000, checkpoint_dir=tempfile.mkdtemp()),
+        EngineConfig(
+            max_epochs=2, epoch_ms=8000, checkpoint_dir=scratch,
+            commit_every=3, detailed_metrics=False,
+        ),
     )
     eng.run(seed_urls(cfg, 4))
     return eng.crawl_order
@@ -823,6 +834,7 @@ def q_crawl_harvest(spark, sf_dir):
     gate is tests/test_cli.py::test_execute_model_parity, which compares
     crawl order, URL-seen set and per-epoch metrics against the
     sequential oracle under the same model."""
+    import os
     import tempfile
 
     from crawler_spark.engine import CrawlEngine, EngineConfig
@@ -838,7 +850,9 @@ def q_crawl_harvest(spark, sf_dir):
         spark, corpus, robots,
         EngineConfig(
             max_epochs=3, epoch_ms=8000, leaf_limit=40,
-            checkpoint_dir=tempfile.mkdtemp(),
+            checkpoint_dir=tempfile.mkdtemp(
+                dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+            ),
             model_xpaths=tuple(XPATHS[:3]), paging_xpaths=tuple(XPATHS[3:5]),
             commit_every=3, detailed_metrics=False,
         ),
