@@ -35,6 +35,7 @@ import json
 import os
 import shutil
 import tempfile
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -340,6 +341,27 @@ class CrawlEngine:
             broadcast_probe,
         )
 
+    @staticmethod
+    def _obs_get(obs, names, fallback, wait_s=10.0):
+        """Observed metric values with a bounded wait. AQE can propagate
+        a runtime-empty relation over an observed subtree and optimize
+        the CollectMetrics node out wholesale — then the metrics future
+        never completes and ``Observation.get`` would block forever.
+        The observed inputs are persisted, so the exact fallback is one
+        cheap cached scan; the wait only covers the async listener gap
+        between action completion and metrics delivery."""
+        try:
+            fut = obs._jo.future()
+            deadline = time.monotonic() + wait_s
+            while not fut.isCompleted():
+                if time.monotonic() >= deadline:
+                    return fallback()
+                time.sleep(0.02)
+            row = obs.get
+            return tuple(row[n] for n in names)
+        except Exception:
+            return fallback()
+
     def _assign_seq(self, df, order_cols, seq_col, start, n_rows):
         """Sequence assignment: single-partition window for batches that
         fit one task comfortably (the quota-bounded common case), the
@@ -405,34 +427,41 @@ class CrawlEngine:
         if cfg.recrawl_ttl_epochs is not None and epoch - cfg.recrawl_ttl_epochs >= 0:
             self._expire_seen(epoch - cfg.recrawl_ttl_epochs)
 
+        from pyspark.sql import Observation
+
         frontier = self._state["frontier"]
-        flagged = politeness.with_disallowed_flag(frontier, self.robots).persist()
-        # one aggregate for pending + disallowed (keeps per-epoch job
-        # count low — local job latency dominates small epochs)
-        prow = flagged.agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.sum(F.col("__disallowed").cast("long")), F.lit(0)).alias("d"),
-        ).first()
-        n_pending, n_disallowed = prow["n"], prow["d"]
+        # the frontier row count is known WITHOUT a job: the manifest
+        # maintains pending = |rest| + |new rows| at the end of every
+        # epoch (init_seeds seeds it). It is only a strategy hint here
+        # (dequeue salting path, sequence fast path) — all metrics come
+        # from exact observations that ride the one epoch action
+        n_pending_hint = self._manifest.get("pending")
+        if n_pending_hint is None:  # resumed from a pre-"pending" manifest
+            n_pending_hint = frontier.count()
+        obs_flag = Observation()
+        flagged = (
+            politeness.with_disallowed_flag(frontier, self.robots)
+            .observe(
+                obs_flag,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(F.col("__disallowed").cast("long")), F.lit(0)
+                ).alias("d"),
+            )
+            .persist()
+        )
         allowed = flagged.filter(~F.col("__disallowed")).drop("__disallowed")
         selected_raw, rest = politeness.dequeue(
             allowed, self.robots, cfg.epoch_ms,
-            approx_rows=n_pending - n_disallowed,
+            approx_rows=n_pending_hint,
         )
+        obs_sel = Observation()
+        selected_raw = selected_raw.observe(obs_sel, F.count(F.lit(1)).alias("n"))
         selected_raw.persist()
-        n_selected = selected_raw.count()
-        if n_selected == 0:
-            self._state["frontier"] = rest.select(*[f.name for f in FRONTIER_SCHEMA])
-            m = dict(epoch=epoch, urls_scheduled=0, pages_fetched=0, links_extracted=0,
-                     links_enqueued=0, dups_dropped=0, disallowed_dropped=n_disallowed,
-                     leaves_fetched=0, neardup_fetched=0)
-            self._append_metrics(m)
-            self._manifest.update(epoch=epoch, pending=n_pending - n_disallowed)
-            self._pending_unpersist.extend([flagged, selected_raw])
-            self._commit(epoch)
-            return m
+        # n_rows is an upper bound (selected ⊆ pending) — it only picks
+        # the sequence strategy, the assigned seqs don't depend on it
         selected = self._assign_seq(
-            selected_raw, ["insertion_seq"], "seq", dequeue_seq, n_selected
+            selected_raw, ["insertion_seq"], "seq", dequeue_seq, n_pending_hint
         )
 
         # redirect resolution (S3): scheduled urls that are aliases fetch
@@ -510,8 +539,6 @@ class CrawlEngine:
         # materializes the survivors, instead of costing one extra Spark
         # job each — per-epoch driver job count is the local throughput
         # ceiling (and the per-commit latency floor on a cluster)
-        from pyspark.sql import Observation
-
         obs_fetch = Observation()
         fetched = fetched.observe(
             obs_fetch,
@@ -607,9 +634,38 @@ class CrawlEngine:
         scan_only = next_seq > cfg.scan_only_seen_rows
         survivors_raw = self._anti_join_seen(candidates, broadcast_probe=scan_only)
         survivors_raw.persist()
-        n_new = survivors_raw.count()  # the ONE action: fires both observations
-        n_fetched, n_leaves = obs_fetch.get["n"], obs_fetch.get["lv"]
-        n_candidates = obs_cand.get["n"]
+        n_new = survivors_raw.count()  # the ONE action: fires every observation
+        (n_fetched, n_leaves) = self._obs_get(
+            obs_fetch, ("n", "lv"),
+            lambda: tuple(
+                fetched.agg(
+                    F.count(F.lit(1)),
+                    F.coalesce(
+                        F.sum(
+                            (F.col("is_leaf") & ~F.col("__cache_hit")).cast("long")
+                        ),
+                        F.lit(0),
+                    ),
+                ).first()
+            ),
+        )
+        (n_candidates,) = self._obs_get(
+            obs_cand, ("n",), lambda: (cand_all.count(),)
+        )
+        (n_selected,) = self._obs_get(
+            obs_sel, ("n",), lambda: (selected_raw.count(),)
+        )
+        (n_pending, n_disallowed) = self._obs_get(
+            obs_flag, ("n", "d"),
+            lambda: tuple(
+                flagged.agg(
+                    F.count(F.lit(1)),
+                    F.coalesce(
+                        F.sum(F.col("__disallowed").cast("long")), F.lit(0)
+                    ),
+                ).first()
+            ),
+        )
         n_links = (
             count_extracted(extract_input).count()
             if cfg.detailed_metrics
@@ -691,21 +747,26 @@ class CrawlEngine:
         if cfg.commit_every <= 1 or (epoch + 1) % cfg.commit_every == 0:
             self._commit(epoch)
         else:
-            # materialize the tables the NEXT epoch reads — without this
-            # every downstream action re-runs this epoch's joins/windows/
-            # bloom cogroups (measured 10× epoch-loop slowdown). The
-            # append-only tables (crawl_order/lineage/metrics) are only
-            # read at commit time and stay lazy; content_seen/extracted
-            # only change when their feature is on (each eager
-            # localCheckpoint is a whole Spark job — don't pay it for a
-            # table that is provably empty this run)
+            # truncate the lineage of the tables the NEXT epoch reads —
+            # without this every downstream action re-runs this epoch's
+            # joins/windows/bloom cogroups (measured 10× epoch-loop
+            # slowdown). LAZY checkpoints: the next epoch's single
+            # action (or the commit) touches frontier+url_seen+segments
+            # in one plan, so all of them materialize inside that ONE
+            # job instead of costing one eager job each here. Results
+            # are deterministic pre-materialization (hash-partitioned
+            # windows only — the range-partitioned sequence path does
+            # its own eager freeze in with_global_seq), so lazy is safe.
+            # The append-only tables (crawl_order/lineage/metrics) are
+            # only read at commit time and stay unwrapped;
+            # content_seen/extracted only change when their feature is on
             tables = ["frontier", "url_seen", "segments"]
             if cfg.track_content_dups:
                 tables.append("content_seen")
             if self._alias_map is not None:
                 tables.append("extracted")
             for name in tables:
-                self._state[name] = self._state[name].localCheckpoint(eager=True)
+                self._state[name] = self._state[name].localCheckpoint(eager=False)
         return m
 
     def _append_metrics(self, m: dict) -> None:
