@@ -140,11 +140,13 @@ def cmd_learn_model(args) -> int:
 
     from crawler_spark.synth import SynthConfig, corpus_df
 
+    from crawler_spark.engine import read_state_tables
+
     spark, owned = _session(args.master)
-    snaps = sorted(x for x in os.listdir(args.checkpoint) if x.startswith("snap-"))
-    snap = os.path.join(args.checkpoint, snaps[-1])
-    order = spark.read.parquet(os.path.join(snap, "crawl_order"))
-    frontier = spark.read.parquet(os.path.join(snap, "frontier"))
+    tables = read_state_tables(
+        spark, args.checkpoint, ["crawl_order", "frontier"]
+    )
+    order, frontier = tables["crawl_order"], tables["frontier"]
     if args.corpus:
         corpus = spark.read.parquet(args.corpus)
     else:

@@ -8,13 +8,17 @@ engine epoch schedules THOUSANDS under the same semantics:
   prefilter + exact) → merge-back (frontier/seen/order/lineage/metrics)
   → snapshot commit.
 
-Every epoch ends in a **snapshot**: all state tables written to
-``snap-NNNNN/`` plus a manifest — the Iceberg-commit analog (on a real
-cluster these are Iceberg table commits; the reference's analog is the
-pprinted ``.state`` EDN file, ``main.clj:40-60``). ``CrawlEngine.resume``
-restarts from the latest manifest, which is the north_rule's
-resumable-from-checkpoint requirement. Reading the snapshot back also
-truncates the iterative lineage chain, the standard fix for
+Every commit is **O(epoch-delta), not O(total state)**: append-only
+tables (url_seen, crawl_order, lineage, metrics, content_seen,
+extracted) land as per-commit delta files under ``log/<table>/`` — the
+Iceberg ``AppendFiles`` analog — while only the genuinely mutating
+tables (pending frontier, filter segments) are snapshotted in full to
+``snap-NNNNN/`` with the manifest (rename = commit point; the
+reference's analog is the pprinted ``.state`` EDN file,
+``main.clj:40-60``). ``CrawlEngine.resume`` restarts from the latest
+manifest + the delta log ≤ that epoch, which is the north_rule's
+resumable-from-checkpoint requirement. Reading committed state back
+also truncates the iterative lineage chain, the standard fix for
 growing-plan iterative jobs.
 
 Scale notes (how each stage survives 1000 executors / 10^10 rows):
@@ -125,6 +129,71 @@ _STATE_TABLES = (
     "content_seen", "extracted",
 )
 
+# Commit-cost split (the Iceberg mapping, north_rule "merge-back with
+# per-partition lineage"): append-only tables commit as per-epoch DELTA
+# files under ckpt/log/<table>/commit-NNNNN — an O(epoch-delta) append,
+# exactly an Iceberg AppendFiles commit — so the 10^10-row url_seen is
+# never rewritten. Only the tables whose rows genuinely mutate commit as
+# full snapshots: the pending frontier (rows removed on dequeue; on a
+# real cluster this becomes an Iceberg MERGE / row-delete commit) and
+# the fixed-size filter segments. TTL recrawl deletes url_seen/extracted
+# rows, so runs with recrawl_ttl_epochs fall back to full-table commits.
+_APPEND_TABLES = (
+    "url_seen", "crawl_order", "lineage", "metrics", "content_seen", "extracted",
+)
+_FULL_TABLES = ("frontier", "segments")
+
+_TABLE_SCHEMAS = {
+    "frontier": FRONTIER_SCHEMA,
+    "url_seen": URL_SEEN_SCHEMA,
+    "crawl_order": CRAWL_ORDER_SCHEMA,
+    "lineage": LINEAGE_SCHEMA,
+    "metrics": METRICS_SCHEMA,
+    "content_seen": CONTENT_SEEN_SCHEMA,
+    "extracted": EXTRACTED_SCHEMA,
+}
+
+
+def read_log_table(spark, ckpt: str, name: str, up_to_epoch: int) -> DataFrame:
+    """State of an append table = union of its committed delta files with
+    commit epoch ≤ *up_to_epoch* (stray dirs from a crashed later commit
+    are thereby ignored — the manifest is the truth)."""
+    base = os.path.join(ckpt, "log", name)
+    dirs = []
+    if os.path.isdir(base):
+        dirs = sorted(
+            os.path.join(base, x)
+            for x in os.listdir(base)
+            if x.startswith("commit-") and int(x.split("-")[1]) <= up_to_epoch
+        )
+    schema = _TABLE_SCHEMAS[name]
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*dirs)
+
+
+def read_state_tables(spark, ckpt: str, names: list) -> dict:
+    """Committed state tables from a checkpoint dir without an engine
+    instance (CLI model learning etc.) — append-log aware."""
+    snaps = sorted(
+        x
+        for x in os.listdir(ckpt)
+        if x.startswith("snap-")
+        and os.path.exists(os.path.join(ckpt, x, "manifest.json"))
+    )
+    if not snaps:
+        raise FileNotFoundError(f"no committed snapshot under {ckpt}")
+    d = os.path.join(ckpt, snaps[-1])
+    with open(os.path.join(d, "manifest.json")) as f:
+        manifest = json.load(f)
+    out = {}
+    for name in names:
+        if manifest.get("append_log") and name in _APPEND_TABLES:
+            out[name] = read_log_table(spark, ckpt, name, manifest["epoch"])
+        else:
+            out[name] = spark.read.parquet(os.path.join(d, name))
+    return out
+
 
 def expired_urls(crawl_order: DataFrame, expire_epoch: int) -> DataFrame:
     """Urls whose LATEST scheduling was exactly *expire_epoch* — the TTL
@@ -177,19 +246,56 @@ class CrawlEngine:
         self._state: dict = {}
         self._manifest: dict = {}
         self._pending_unpersist: list = []
+        # per-table delta DataFrames accumulated since the last commit
+        # (the Iceberg AppendFiles payload); cleared on every commit
+        self._uncommitted: dict = {}
 
     # ---------------- snapshot plumbing ----------------
 
     def _snap_dir(self, epoch: int) -> str:
         return os.path.join(self.ckpt, f"snap-{epoch:05d}")
 
+    def _log_dir(self, name: str) -> str:
+        return os.path.join(self.ckpt, "log", name)
+
+    def _append_state(self, name: str, rows: DataFrame) -> None:
+        """Union *rows* into a state table AND remember them as the
+        table's uncommitted delta — the commit then appends exactly these
+        rows instead of rewriting the whole table."""
+        self._state[name] = self._state[name].unionByName(rows)
+        self._uncommitted.setdefault(name, []).append(rows)
+
+    def _append_mode(self) -> bool:
+        # TTL expiry DELETES url_seen/extracted rows — append-only logs
+        # can't express that, so TTL runs commit full tables
+        return self.cfg.recrawl_ttl_epochs is None
+
+    def _read_log_table(self, name: str, up_to_epoch: int) -> DataFrame:
+        return read_log_table(self.spark, self.ckpt, name, up_to_epoch)
+
     def _commit(self, epoch: int) -> None:
-        """Write all state tables + manifest atomically-ish (manifest last,
-        written only after every table landed — the commit point)."""
+        """Commit point. Append-only tables land as per-epoch delta files
+        (O(epoch-delta) — the Iceberg append analog); frontier/segments
+        as full snapshots; manifest last — its rename IS the commit."""
         d = self._snap_dir(epoch)
-        for name in _STATE_TABLES:
-            df = self._state[name]
-            df.write.mode("overwrite").parquet(os.path.join(d, name))
+        append_mode = self._append_mode()
+        if append_mode:
+            for name in _APPEND_TABLES:
+                parts = self._uncommitted.get(name, [])
+                if not parts:
+                    continue
+                delta = parts[0]
+                for p in parts[1:]:
+                    delta = delta.unionByName(p)
+                delta.write.mode("overwrite").parquet(
+                    os.path.join(self._log_dir(name), f"commit-{epoch:05d}")
+                )
+            full_tables = _FULL_TABLES
+        else:
+            full_tables = _STATE_TABLES
+        for name in full_tables:
+            self._state[name].write.mode("overwrite").parquet(os.path.join(d, name))
+        self._manifest["append_log"] = append_mode
         with open(os.path.join(d, "manifest.json.tmp"), "w") as f:
             json.dump(self._manifest, f)
         os.replace(os.path.join(d, "manifest.json.tmp"), os.path.join(d, "manifest.json"))
@@ -198,23 +304,19 @@ class CrawlEngine:
         # _last_committed at the previous epoch so run()'s final safety
         # commit isn't skipped by a caller that caught the error
         self._last_committed = epoch
+        self._uncommitted = {}
         # reload state from disk → truncates iterative lineage
-        for name in _STATE_TABLES:
-            schema = {
-                "frontier": FRONTIER_SCHEMA,
-                "url_seen": URL_SEEN_SCHEMA,
-                "crawl_order": CRAWL_ORDER_SCHEMA,
-                "lineage": LINEAGE_SCHEMA,
-                "metrics": METRICS_SCHEMA,
-                "content_seen": CONTENT_SEEN_SCHEMA,
-                "extracted": EXTRACTED_SCHEMA,
-            }.get(name)
+        for name in full_tables:
+            schema = _TABLE_SCHEMAS.get(name)
             path = os.path.join(d, name)
             self._state[name] = (
                 self.spark.read.schema(schema).parquet(path)
                 if schema is not None
                 else self.spark.read.parquet(path)
             )
+        if append_mode:
+            for name in _APPEND_TABLES:
+                self._state[name] = self._read_log_table(name, epoch)
         # prune old snapshots (never the one just committed or anything
         # newer — defense in depth against a dirty checkpoint dir)
         snaps = sorted(x for x in os.listdir(self.ckpt) if x.startswith("snap-"))
@@ -252,8 +354,15 @@ class CrawlEngine:
                 f"snapshot was written with seen_filter={have!r}; engine is "
                 f"configured with {want!r} — resume with the matching config"
             )
-        for name in _STATE_TABLES:
-            self._state[name] = self.spark.read.parquet(os.path.join(d, name))
+        if self._manifest.get("append_log"):
+            for name in _FULL_TABLES:
+                self._state[name] = self.spark.read.parquet(os.path.join(d, name))
+            for name in _APPEND_TABLES:
+                self._state[name] = self._read_log_table(name, epoch)
+        else:
+            for name in _STATE_TABLES:
+                self._state[name] = self.spark.read.parquet(os.path.join(d, name))
+        self._uncommitted = {}
         # the loaded epoch IS committed — without this, a run() that
         # stops before any new epoch would re-commit into the very
         # snapshot dir these lazy readers point at (overwrite-while-
@@ -311,6 +420,9 @@ class CrawlEngine:
             "epoch": -1, "next_seq": n_seeds, "dequeue_seq": 0, "leaves_fetched": 0,
             "pending": n_seeds, "seen_filter": self._filter_kind(),
         }
+        # the seed rows are commit 0's url_seen delta; every other
+        # append table starts empty
+        self._uncommitted = {"url_seen": [url_seen]}
 
     def _filter_kind(self) -> str:
         return self.cfg.seen_filter if self.cfg.use_bloom else "none"
@@ -553,9 +665,7 @@ class CrawlEngine:
             "__cache_hit", "requested_url"
         )
         if self._alias_map is not None:
-            self._state["extracted"] = self._state["extracted"].unionByName(
-                extract_input.select("url")
-            )
+            self._append_state("extracted", extract_input.select("url"))
 
         n_neardup = 0
         if cfg.track_content_dups:
@@ -578,9 +688,7 @@ class CrawlEngine:
             n_fresh = fresh_hashes.count()
             n_extracted = extract_input.count()
             n_neardup = n_extracted - n_fresh
-            self._state["content_seen"] = self._state["content_seen"].unionByName(
-                fresh_hashes
-            )
+            self._append_state("content_seen", fresh_hashes)
 
         cand_all = extract_candidates(extract_input, dedup=False)
         if cfg.model_xpaths is not None:
@@ -700,7 +808,7 @@ class CrawlEngine:
             new_seen = new_seen.unionByName(
                 closure_new.select("partition_id", "url_hash", "url")
             )
-        self._state["url_seen"] = self._state["url_seen"].unionByName(new_seen)
+        self._append_state("url_seen", new_seen)
         if cfg.use_bloom:
             self._state["segments"] = self._build_segments(
                 new_seen, self._state["segments"]
@@ -711,11 +819,12 @@ class CrawlEngine:
         order_rows = selected.select(
             "seq", "url", F.lit(epoch).alias("epoch"), "host"
         )
-        self._state["crawl_order"] = self._state["crawl_order"].unionByName(order_rows)
-        self._state["lineage"] = self._state["lineage"].unionByName(
+        self._append_state("crawl_order", order_rows)
+        self._append_state(
+            "lineage",
             new_seen.groupBy("partition_id")
             .agg(F.count("*").alias("rows_added"))
-            .select(F.lit(epoch).alias("epoch"), "partition_id", "rows_added")
+            .select(F.lit(epoch).alias("epoch"), "partition_id", "rows_added"),
         )
 
         m = dict(
@@ -772,7 +881,7 @@ class CrawlEngine:
     def _append_metrics(self, m: dict) -> None:
         row = self.spark.createDataFrame([tuple(m[f.name] for f in METRICS_SCHEMA)],
                                          METRICS_SCHEMA)
-        self._state["metrics"] = self._state["metrics"].unionByName(row)
+        self._append_state("metrics", row)
 
     def run(self, seeds: list | None = None) -> dict:
         """Run to completion (frontier drained / max_epochs / max_pages).
@@ -787,6 +896,9 @@ class CrawlEngine:
             for s in os.listdir(self.ckpt):
                 if s.startswith("snap-"):
                     shutil.rmtree(os.path.join(self.ckpt, s), ignore_errors=True)
+            # the append log is part of the same history — stale delta
+            # files would resurrect a previous run's rows on reload
+            shutil.rmtree(os.path.join(self.ckpt, "log"), ignore_errors=True)
             # a previous run's _last_committed must not satisfy the
             # end-of-run safety-commit check for this fresh run (same
             # epoch numbers recur, so a stale value would skip the final

@@ -379,3 +379,48 @@ def test_alias_duplicate_claims_resolve_min_url(spark, tmp_path):
     seen = {r.url for r in eng.url_seen.collect()}
     assert "http://h.test/from-a" in seen
     assert "http://h.test/from-b" not in seen
+
+
+def test_commit_cost_is_per_epoch_delta(spark, web, tmp_path):
+    """Append-only tables must commit as per-epoch DELTA files (the
+    Iceberg-append analog): each commit dir holds only the rows added
+    since the previous commit — never a rewrite of the whole table —
+    and the union of all deltas equals the live state. This is what
+    keeps the 10^10-row url_seen from being rewritten every epoch."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    cfg, corpus, robots = web
+    seeds = seed_urls(cfg, 5)
+    ck = str(tmp_path / "delta")
+    eng = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=3, epoch_ms=8000, checkpoint_dir=ck,
+                     n_seen_buckets=8, bloom_m_bits=1 << 16),
+    )
+    eng.run(seeds)
+
+    def delta_rows(table):
+        base = os.path.join(ck, "log", table)
+        out = {}
+        for c in sorted(os.listdir(base)):
+            n = sum(
+                pq.read_table(os.path.join(root, f)).num_rows
+                for root, _d, files in os.walk(os.path.join(base, c))
+                for f in files
+                if f.endswith(".parquet")
+            )
+            out[c] = n
+        return out
+
+    seen_deltas = delta_rows("url_seen")
+    assert len(seen_deltas) >= 3  # one commit dir per committed epoch
+    total_seen = eng.url_seen.count()
+    # every commit after the first must be a strict subset of the table —
+    # a full rewrite would put ~total_seen rows in a later commit dir
+    later = list(seen_deltas.values())[1:]
+    assert all(0 < n < total_seen for n in later), seen_deltas
+    assert sum(seen_deltas.values()) == total_seen  # deltas ARE the state
+    order_deltas = delta_rows("crawl_order")
+    assert sum(order_deltas.values()) == eng.crawl_order.count()

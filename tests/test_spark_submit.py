@@ -57,10 +57,11 @@ def test_spark_submit_pyfiles_crawl(tmp_path):
     assert snaps, f"no snapshot committed under {ck}"
     manifest = json.loads((ck / snaps[-1] / "manifest.json").read_text())
     assert manifest["epoch"] >= 0
-    # crawl_order parquet has rows (read via pyarrow, no Spark needed)
+    # crawl_order parquet has rows (read via pyarrow, no Spark needed) —
+    # append-only tables commit as delta files under log/<table>/
     import pyarrow.parquet as pq
 
-    order_dir = ck / snaps[-1] / "crawl_order"
+    order_dir = ck / "log" / "crawl_order"
     n = sum(
         pq.read_table(os.path.join(root, f)).num_rows
         for root, _d, files in os.walk(order_dir)
