@@ -117,6 +117,10 @@ class EngineConfig:
     # reference's harvest budget (--num-leaves).
     model_xpaths: tuple | None = None
     paging_xpaths: tuple = ()
+    # log compaction threshold: when an append table's delta chain
+    # exceeds this many commit dirs, the commit also writes a compacted
+    # base (O(total), amortized over the chain) and prunes the chain
+    log_compact_dirs: int = 32
     # seen-probe strategy switch: below this many seen rows the plain
     # shuffle anti-join is cheaper (two broadcast builds per epoch cost
     # more than shuffling a small table); above it the scan-only
@@ -154,18 +158,39 @@ _TABLE_SCHEMAS = {
 }
 
 
-def read_log_table(spark, ckpt: str, name: str, up_to_epoch: int) -> DataFrame:
-    """State of an append table = union of its committed delta files with
-    commit epoch ≤ *up_to_epoch* (stray dirs from a crashed later commit
-    are thereby ignored — the manifest is the truth)."""
+def _log_parts(ckpt: str, name: str, up_to_epoch: int) -> tuple:
+    """(base_compact_dir_or_None, [delta dirs]) for an append table at
+    *up_to_epoch*: the newest ``compact-XX`` ≤ up_to is the base, plus
+    every ``commit-YY`` with XX < YY ≤ up_to. Stray dirs from a crashed
+    later commit — or obsolete dirs a crashed cleanup left behind — are
+    thereby ignored either way: the manifest epoch is the truth."""
     base = os.path.join(ckpt, "log", name)
-    dirs = []
-    if os.path.isdir(base):
-        dirs = sorted(
-            os.path.join(base, x)
-            for x in os.listdir(base)
-            if x.startswith("commit-") and int(x.split("-")[1]) <= up_to_epoch
-        )
+    if not os.path.isdir(base):
+        return None, []
+    entries = os.listdir(base)
+    compacts = sorted(
+        int(x.split("-")[1])
+        for x in entries
+        if x.startswith("compact-") and int(x.split("-")[1]) <= up_to_epoch
+    )
+    base_epoch = compacts[-1] if compacts else -1
+    deltas = sorted(
+        os.path.join(base, x)
+        for x in entries
+        if x.startswith("commit-")
+        and base_epoch < int(x.split("-")[1]) <= up_to_epoch
+    )
+    compact_dir = (
+        os.path.join(base, f"compact-{base_epoch:05d}") if compacts else None
+    )
+    return compact_dir, deltas
+
+
+def read_log_table(spark, ckpt: str, name: str, up_to_epoch: int) -> DataFrame:
+    """State of an append table = newest compacted base ≤ *up_to_epoch*
+    plus the delta files committed after it."""
+    compact_dir, deltas = _log_parts(ckpt, name, up_to_epoch)
+    dirs = ([compact_dir] if compact_dir else []) + deltas
     schema = _TABLE_SCHEMAS[name]
     if not dirs:
         return spark.createDataFrame([], schema)
@@ -279,17 +304,31 @@ class CrawlEngine:
         as full snapshots; manifest last — its rename IS the commit."""
         d = self._snap_dir(epoch)
         append_mode = self._append_mode()
+        compacted = []
         if append_mode:
             for name in _APPEND_TABLES:
                 parts = self._uncommitted.get(name, [])
-                if not parts:
-                    continue
-                delta = parts[0]
-                for p in parts[1:]:
-                    delta = delta.unionByName(p)
-                delta.write.mode("overwrite").parquet(
-                    os.path.join(self._log_dir(name), f"commit-{epoch:05d}")
-                )
+                if parts:
+                    delta = parts[0]
+                    for p in parts[1:]:
+                        delta = delta.unionByName(p)
+                    delta.write.mode("overwrite").parquet(
+                        os.path.join(self._log_dir(name), f"commit-{epoch:05d}")
+                    )
+                # log compaction (Iceberg rewrite-data-files analog):
+                # once the delta chain is longer than the threshold,
+                # write the whole table as a new compacted base — an
+                # O(total) write amortized over the threshold's worth of
+                # O(delta) commits, so a 10^4-epoch crawl never unions
+                # 10^4 delta dirs per read. Obsolete dirs are removed
+                # only AFTER the manifest rename (crash between the two
+                # leaves stray dirs that the read rule already ignores).
+                _b, deltas = _log_parts(self.ckpt, name, epoch)
+                if len(deltas) > self.cfg.log_compact_dirs:
+                    self._state[name].write.mode("overwrite").parquet(
+                        os.path.join(self._log_dir(name), f"compact-{epoch:05d}")
+                    )
+                    compacted.append(name)
             full_tables = _FULL_TABLES
         else:
             full_tables = _STATE_TABLES
@@ -324,6 +363,27 @@ class CrawlEngine:
         for old in snaps[: len(snaps) - keep]:
             if int(old.split("-")[1]) < epoch:
                 shutil.rmtree(os.path.join(self.ckpt, old), ignore_errors=True)
+        # post-compaction log cleanup (Iceberg expire-snapshots analog):
+        # a delta/base dir is obsolete once it is covered by the new
+        # compacted base AND no retained snapshot manifest could still
+        # need it (resume falls back to an older manifest when the
+        # latest is damaged — its reads must keep working)
+        if compacted:
+            kept = sorted(
+                int(x.split("-")[1])
+                for x in os.listdir(self.ckpt)
+                if x.startswith("snap-")
+            )
+            oldest_kept = kept[0] if kept else epoch
+            for name in compacted:
+                base = self._log_dir(name)
+                for x in os.listdir(base):
+                    kind, xe = x.split("-")[0], int(x.split("-")[1])
+                    covered = (kind == "commit" and xe <= epoch) or (
+                        kind == "compact" and xe < epoch
+                    )
+                    if covered and xe < oldest_kept:
+                        shutil.rmtree(os.path.join(base, x), ignore_errors=True)
         # state is durable on disk now — safe to drop cached inputs
         for df in self._pending_unpersist:
             df.unpersist()

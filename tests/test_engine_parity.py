@@ -424,3 +424,46 @@ def test_commit_cost_is_per_epoch_delta(spark, web, tmp_path):
     assert sum(seen_deltas.values()) == total_seen  # deltas ARE the state
     order_deltas = delta_rows("crawl_order")
     assert sum(order_deltas.values()) == eng.crawl_order.count()
+
+
+def test_log_compaction_bounds_delta_chain(spark, web, tmp_path):
+    """With a small compaction threshold, the delta chain is rewritten
+    into a compacted base (Iceberg rewrite-data-files analog) and the
+    obsolete dirs outside the retained-snapshot window are pruned —
+    while resume and the final state stay exact."""
+    import os
+
+    cfg, corpus, robots = web
+    seeds = seed_urls(cfg, 5)
+    base = dict(epoch_ms=8000, n_seen_buckets=8, bloom_m_bits=1 << 16)
+    ck = str(tmp_path / "compact")
+    eng = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=6, checkpoint_dir=ck, log_compact_dirs=2,
+                     keep_snapshots=2, **base),
+    )
+    eng.run(seeds)
+    plain = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=6, checkpoint_dir=str(tmp_path / "plain"), **base),
+    )
+    plain.run(seeds)
+
+    log_seen = os.path.join(ck, "log", "url_seen")
+    names = sorted(os.listdir(log_seen))
+    assert any(x.startswith("compact-") for x in names), names
+    # chain bounded: at most threshold+keep-window dirs survive
+    assert len(names) <= 2 + 2 + 2, names
+
+    cont = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=6, checkpoint_dir=ck, log_compact_dirs=2,
+                     keep_snapshots=2, **base),
+    )
+    cont.resume()
+    assert {r.url for r in cont.url_seen.collect()} == {
+        r.url for r in plain.url_seen.collect()
+    }
+    assert [(r.seq, r.url) for r in cont.crawl_order.collect()] == [
+        (r.seq, r.url) for r in plain.crawl_order.collect()
+    ]
