@@ -305,8 +305,20 @@ class CrawlEngine:
         d = self._snap_dir(epoch)
         append_mode = self._append_mode()
         compacted = []
+        # a full-mode checkpoint (TTL run) resumed with an append-mode
+        # config: the log holds none of the pre-resume history, so the
+        # first append commit must seed it with a compacted base of the
+        # whole table — plain deltas would silently drop every
+        # pre-resume row at the post-commit reload
+        seed_full = append_mode and getattr(self, "_log_needs_seed", False)
         if append_mode:
             for name in _APPEND_TABLES:
+                if seed_full:
+                    self._state[name].write.mode("overwrite").parquet(
+                        os.path.join(self._log_dir(name), f"compact-{epoch:05d}")
+                    )
+                    compacted.append(name)
+                    continue
                 parts = self._uncommitted.get(name, [])
                 if parts:
                     delta = parts[0]
@@ -344,6 +356,7 @@ class CrawlEngine:
         # commit isn't skipped by a caller that caught the error
         self._last_committed = epoch
         self._uncommitted = {}
+        self._log_needs_seed = False
         # reload state from disk → truncates iterative lineage
         for name in full_tables:
             schema = _TABLE_SCHEMAS.get(name)
@@ -422,6 +435,9 @@ class CrawlEngine:
         else:
             for name in _STATE_TABLES:
                 self._state[name] = self.spark.read.parquet(os.path.join(d, name))
+            # if this engine commits in append mode, its first commit
+            # must seed the log with the full pre-resume state
+            self._log_needs_seed = True
         self._uncommitted = {}
         # the loaded epoch IS committed — without this, a run() that
         # stops before any new epoch would re-commit into the very

@@ -467,3 +467,39 @@ def test_log_compaction_bounds_delta_chain(spark, web, tmp_path):
     assert [(r.seq, r.url) for r in cont.crawl_order.collect()] == [
         (r.seq, r.url) for r in plain.crawl_order.collect()
     ]
+
+
+def test_resume_full_mode_checkpoint_into_append_mode(spark, web, tmp_path):
+    """A TTL run commits full tables; resuming that checkpoint with a
+    no-TTL (append-mode) config must seed the delta log with the full
+    pre-resume state — plain deltas would drop every pre-resume row at
+    the first commit's reload."""
+    cfg, corpus, robots = web
+    seeds = seed_urls(cfg, 5)
+    base = dict(epoch_ms=8000, n_seen_buckets=8, bloom_m_bits=1 << 16)
+    ck = str(tmp_path / "ttl2append")
+
+    part = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=2, checkpoint_dir=ck,
+                     recrawl_ttl_epochs=10, **base),  # full-mode commits
+    )
+    part.run(seeds)
+    cont = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=4, checkpoint_dir=ck, **base),  # append mode
+    )
+    cont.resume()
+    cont.run()
+
+    full = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=4, checkpoint_dir=str(tmp_path / "plain4"), **base),
+    )
+    full.run(seeds)
+    assert [(r.seq, r.url) for r in cont.crawl_order.collect()] == [
+        (r.seq, r.url) for r in full.crawl_order.collect()
+    ]
+    assert {r.url for r in cont.url_seen.collect()} == {
+        r.url for r in full.url_seen.collect()
+    }
