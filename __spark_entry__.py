@@ -271,31 +271,42 @@ def q_stream_tumbling_hourly(spark, sf_dir):
     deterministically regardless of watermark progress, so the batch
     DuckDB oracle hashes it exactly. Reference: the loop-state counters
     of crawl.clj:323 as a continuous query."""
+    import os
+    import shutil
+    import tempfile
     import uuid
 
     from crawler_spark.streaming.frontier_stream import stream_tumbling_hourly
 
-    import shutil
-    import tempfile
-
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     # the file-stream source wants a directory (basePath), so stage the
-    # single parquet file into scratch — on a cluster this would be the
-    # landing directory new fetch-result files arrive in
+    # events data into scratch — on a cluster this would be the landing
+    # directory new fetch-result files arrive in. Handles both a single
+    # parquet file and a directory-style dataset; the staging dir is
+    # removed once the AvailableNow trigger drains (the memory sink
+    # holds the result, the source is no longer read).
     stage = tempfile.mkdtemp(prefix="stream_events_")
-    shutil.copy(path, stage)
-    src = spark.readStream.schema(schema).parquet(stage)
-    name = "stream_hourly_" + uuid.uuid4().hex[:8]
-    q = (
-        stream_tumbling_hourly(src)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        if os.path.isdir(path):
+            for part in os.listdir(path):
+                if part.endswith(".parquet"):
+                    shutil.copy(os.path.join(path, part), stage)
+        else:
+            shutil.copy(path, stage)
+        src = spark.readStream.schema(schema).parquet(stage)
+        name = "stream_hourly_" + uuid.uuid4().hex[:8]
+        q = (
+            stream_tumbling_hourly(src)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     return spark.table(name)
 
 

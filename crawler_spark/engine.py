@@ -36,7 +36,9 @@ Scale notes (how each stage survives 1000 executors / 10^10 rows):
 from __future__ import annotations
 
 import json
+import logging
 import os
+import re
 import shutil
 import tempfile
 import time
@@ -158,6 +160,27 @@ _TABLE_SCHEMAS = {
 }
 
 
+_LOG_DIR_RE = re.compile(r"(commit|compact)-\d{5}")
+
+logger = logging.getLogger(__name__)
+
+
+def _write_compact_atomic(df: DataFrame, log_dir: str, epoch: int) -> None:
+    """Write a compacted base durably: stage to ``compact-NNNNN.tmp``
+    (ignored by ``_log_parts``) and os.rename into place. A crash mid
+    write leaves only the .tmp; a crash between rmtree and rename leaves
+    no compact at this epoch — either way the read rule falls back to
+    the previous base + deltas, never a partial table."""
+    final = os.path.join(log_dir, f"compact-{epoch:05d}")
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    # replay after a crash-post-rename re-runs this commit: the final
+    # dir may exist (possibly from an older code path) — replace it
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(tmp, final)
+
+
 def _log_parts(ckpt: str, name: str, up_to_epoch: int) -> tuple:
     """(base_compact_dir_or_None, [delta dirs]) for an append table at
     *up_to_epoch*: the newest ``compact-XX`` ≤ up_to is the base, plus
@@ -167,7 +190,13 @@ def _log_parts(ckpt: str, name: str, up_to_epoch: int) -> tuple:
     base = os.path.join(ckpt, "log", name)
     if not os.path.isdir(base):
         return None, []
-    entries = os.listdir(base)
+    # only fully-committed dirs count: compactions are staged as
+    # compact-NNNNN.tmp and os.rename'd into place, so a crash mid
+    # compact write can never leave a partial dir that this scan would
+    # pick as the base (which would silently truncate the table)
+    entries = [
+        x for x in os.listdir(base) if _LOG_DIR_RE.fullmatch(x) is not None
+    ]
     compacts = sorted(
         int(x.split("-")[1])
         for x in entries
@@ -231,6 +260,10 @@ def expired_urls(crawl_order: DataFrame, expire_epoch: int) -> DataFrame:
 
 
 class CrawlEngine:
+    # one-shot flag: the Observation-future fast path silently degrading
+    # to fallback recompute jobs must be visible at least once per process
+    _warned_obs_fallback = False
+
     def __init__(
         self,
         spark: SparkSession,
@@ -314,9 +347,7 @@ class CrawlEngine:
         if append_mode:
             for name in _APPEND_TABLES:
                 if seed_full:
-                    self._state[name].write.mode("overwrite").parquet(
-                        os.path.join(self._log_dir(name), f"compact-{epoch:05d}")
-                    )
+                    _write_compact_atomic(self._state[name], self._log_dir(name), epoch)
                     compacted.append(name)
                     continue
                 parts = self._uncommitted.get(name, [])
@@ -337,9 +368,7 @@ class CrawlEngine:
                 # leaves stray dirs that the read rule already ignores).
                 _b, deltas = _log_parts(self.ckpt, name, epoch)
                 if len(deltas) > self.cfg.log_compact_dirs:
-                    self._state[name].write.mode("overwrite").parquet(
-                        os.path.join(self._log_dir(name), f"compact-{epoch:05d}")
-                    )
+                    _write_compact_atomic(self._state[name], self._log_dir(name), epoch)
                     compacted.append(name)
             full_tables = _FULL_TABLES
         else:
@@ -373,7 +402,11 @@ class CrawlEngine:
         # newer — defense in depth against a dirty checkpoint dir)
         snaps = sorted(x for x in os.listdir(self.ckpt) if x.startswith("snap-"))
         keep = max(1, self.cfg.keep_snapshots)  # 0 must not mean "keep all"
-        for old in snaps[: len(snaps) - keep]:
+        # len-keep clamped at 0: a negative slice bound would wrap around
+        # and delete all-but-the-last while the window is still FILLING
+        # (2 snaps, keep 3 → snaps[:-1]) — keep_snapshots>2 silently
+        # degraded to 1 retained snapshot forever
+        for old in snaps[: max(0, len(snaps) - keep)]:
             if int(old.split("-")[1]) < epoch:
                 shutil.rmtree(os.path.join(self.ckpt, old), ignore_errors=True)
         # post-compaction log cleanup (Iceberg expire-snapshots analog):
@@ -390,12 +423,31 @@ class CrawlEngine:
             oldest_kept = kept[0] if kept else epoch
             for name in compacted:
                 base = self._log_dir(name)
+                # a dir is deletable only if NO retained snapshot's read
+                # could need it. Every retained snapshot s ≥ oldest_kept
+                # reads base(s) = newest compact ≤ s plus commits in
+                # (base(s), s]; base(s) ≥ base(oldest_kept), so keeping
+                # the oldest snapshot's base and everything after it
+                # keeps every retained read intact — delete only
+                # compacts strictly older than base(oldest_kept) and
+                # commits it covers.
+                base_keep, _ = _log_parts(self.ckpt, name, oldest_kept)
+                base_keep_epoch = (
+                    int(os.path.basename(base_keep).split("-")[1])
+                    if base_keep
+                    else -1
+                )
                 for x in os.listdir(base):
+                    if _LOG_DIR_RE.fullmatch(x) is None:
+                        # stale .tmp from a crashed compaction — always junk
+                        if x.endswith(".tmp"):
+                            shutil.rmtree(os.path.join(base, x), ignore_errors=True)
+                        continue
                     kind, xe = x.split("-")[0], int(x.split("-")[1])
-                    covered = (kind == "commit" and xe <= epoch) or (
-                        kind == "compact" and xe < epoch
+                    covered = (kind == "commit" and xe <= base_keep_epoch) or (
+                        kind == "compact" and xe < base_keep_epoch
                     )
-                    if covered and xe < oldest_kept:
+                    if covered:
                         shutil.rmtree(os.path.join(base, x), ignore_errors=True)
         # state is durable on disk now — safe to drop cached inputs
         for df in self._pending_unpersist:
@@ -540,15 +592,25 @@ class CrawlEngine:
         between action completion and metrics delivery."""
         try:
             fut = obs._jo.future()
-            deadline = time.monotonic() + wait_s
-            while not fut.isCompleted():
-                if time.monotonic() >= deadline:
-                    return fallback()
-                time.sleep(0.02)
-            row = obs.get
-            return tuple(row[n] for n in names)
         except Exception:
+            # private pyspark surface (obs._jo / .future) moved in an
+            # upgrade — every epoch would silently pay the fallback's
+            # extra recompute jobs, so say it once, loudly
+            if not CrawlEngine._warned_obs_fallback:
+                CrawlEngine._warned_obs_fallback = True
+                logger.warning(
+                    "Observation future API unavailable (pyspark private "
+                    "API changed?) — falling back to per-epoch metric "
+                    "recompute jobs; epoch latency will regress"
+                )
             return fallback()
+        deadline = time.monotonic() + wait_s
+        while not fut.isCompleted():
+            if time.monotonic() >= deadline:
+                return fallback()
+            time.sleep(0.02)
+        row = obs.get
+        return tuple(row[n] for n in names)
 
     def _assign_seq(self, df, order_cols, seq_col, start, n_rows):
         """Sequence assignment: single-partition window for batches that

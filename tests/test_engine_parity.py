@@ -469,6 +469,61 @@ def test_log_compaction_bounds_delta_chain(spark, web, tmp_path):
     ]
 
 
+def test_resume_from_non_latest_snapshot_after_compaction(spark, web, tmp_path):
+    """Post-compaction log cleanup must preserve every retained
+    snapshot's read set, not just the latest one's: resume falls back to
+    an older manifest when the newest is damaged, and that older epoch's
+    read needs ITS base compact (≤ oldest_kept) plus the commits after
+    it. The old rule deleted everything < oldest_kept — the fallback
+    resume then silently lost all pre-oldest_kept rows."""
+    import os
+
+    cfg, corpus, robots = web
+    seeds = seed_urls(cfg, 5)
+    base = dict(epoch_ms=8000, n_seen_buckets=8, bloom_m_bits=1 << 16)
+    ck = str(tmp_path / "fallback")
+    eng = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=6, checkpoint_dir=ck, log_compact_dirs=2,
+                     keep_snapshots=3, **base),
+    )
+    eng.run(seeds)
+    snaps = sorted(x for x in os.listdir(ck) if x.startswith("snap-"))
+    assert len(snaps) == 3
+    # damage the newest manifest → resume must fall back one snapshot
+    os.remove(os.path.join(ck, snaps[-1], "manifest.json"))
+
+    cont = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=6, checkpoint_dir=ck, log_compact_dirs=2,
+                     keep_snapshots=3, **base),
+    )
+    cont.resume()
+    assert cont.latest_snapshot() == int(snaps[-2].split("-")[1])
+    # the fallback state must hold EVERY row seen up to its epoch — a
+    # cleanup that deleted its compact base would truncate it to the
+    # post-compaction commits only
+    plain = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=int(snaps[-2].split("-")[1]) + 1,
+                     checkpoint_dir=str(tmp_path / "plainfb"), **base),
+    )
+    plain.run(seeds)
+    assert {r.url for r in cont.url_seen.collect()} == {
+        r.url for r in plain.url_seen.collect()
+    }
+    # and continuing from the fallback re-converges with a straight run
+    cont.run()
+    full = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=6, checkpoint_dir=str(tmp_path / "fullfb"), **base),
+    )
+    full.run(seeds)
+    assert [(r.seq, r.url) for r in cont.crawl_order.collect()] == [
+        (r.seq, r.url) for r in full.crawl_order.collect()
+    ]
+
+
 def test_resume_full_mode_checkpoint_into_append_mode(spark, web, tmp_path):
     """A TTL run commits full tables; resuming that checkpoint with a
     no-TTL (append-mode) config must seed the delta log with the full
