@@ -143,7 +143,8 @@ _STATE_TABLES = (
 # full snapshots: the pending frontier (rows removed on dequeue; on a
 # real cluster this becomes an Iceberg MERGE / row-delete commit) and
 # the fixed-size filter segments. TTL recrawl deletes url_seen/extracted
-# rows, so runs with recrawl_ttl_epochs fall back to full-table commits.
+# rows; those land as per-epoch tombstone dirs (see _DELETE_KEYS), so
+# TTL runs keep O(epoch-delta) commits too.
 _APPEND_TABLES = (
     "url_seen", "crawl_order", "lineage", "metrics", "content_seen", "extracted",
 )
@@ -160,7 +161,13 @@ _TABLE_SCHEMAS = {
 }
 
 
-_LOG_DIR_RE = re.compile(r"(commit|compact)-\d{5}")
+_LOG_DIR_RE = re.compile(r"(commit|compact|delete)-\d{5}")
+
+# tables whose rows a TTL expiry removes, with the equality-delete key.
+# Their deletions commit as per-epoch tombstone dirs (log/<table>/
+# delete-NNNNN — the Iceberg equality-delete analog) so a TTL run keeps
+# O(epoch-delta) commits instead of rewriting the whole 10^10-row table.
+_DELETE_KEYS = {"url_seen": "url", "extracted": "url"}
 
 logger = logging.getLogger(__name__)
 
@@ -182,14 +189,17 @@ def _write_compact_atomic(df: DataFrame, log_dir: str, epoch: int) -> None:
 
 
 def _log_parts(ckpt: str, name: str, up_to_epoch: int) -> tuple:
-    """(base_compact_dir_or_None, [delta dirs]) for an append table at
-    *up_to_epoch*: the newest ``compact-XX`` ≤ up_to is the base, plus
-    every ``commit-YY`` with XX < YY ≤ up_to. Stray dirs from a crashed
-    later commit — or obsolete dirs a crashed cleanup left behind — are
-    thereby ignored either way: the manifest epoch is the truth."""
+    """(base_compact_dir_or_None, [delta dirs], [tombstone dirs]) for an
+    append table at *up_to_epoch*: the newest ``compact-XX`` ≤ up_to is
+    the base, plus every ``commit-YY`` / ``delete-YY`` with
+    XX < YY ≤ up_to (tombstones at or before the base epoch are no-ops —
+    the compact already has those deletions applied). Stray dirs from a
+    crashed later commit — or obsolete dirs a crashed cleanup left
+    behind — are thereby ignored either way: the manifest epoch is the
+    truth."""
     base = os.path.join(ckpt, "log", name)
     if not os.path.isdir(base):
-        return None, []
+        return None, [], []
     # only fully-committed dirs count: compactions are staged as
     # compact-NNNNN.tmp and os.rename'd into place, so a crash mid
     # compact write can never leave a partial dir that this scan would
@@ -212,18 +222,56 @@ def _log_parts(ckpt: str, name: str, up_to_epoch: int) -> tuple:
     compact_dir = (
         os.path.join(base, f"compact-{base_epoch:05d}") if compacts else None
     )
-    return compact_dir, deltas
+    tombstones = sorted(
+        os.path.join(base, x)
+        for x in entries
+        if x.startswith("delete-")
+        and base_epoch < int(x.split("-")[1]) <= up_to_epoch
+    )
+    return compact_dir, deltas, tombstones
+
+
+def _part_epoch(path: str) -> int:
+    return int(os.path.basename(path).split("-")[1])
 
 
 def read_log_table(spark, ckpt: str, name: str, up_to_epoch: int) -> DataFrame:
     """State of an append table = newest compacted base ≤ *up_to_epoch*
-    plus the delta files committed after it."""
-    compact_dir, deltas = _log_parts(ckpt, name, up_to_epoch)
+    plus the delta files committed after it, minus tombstoned keys.
+
+    Tombstone semantics (Iceberg equality-delete sequence rule): a
+    ``delete-E`` row removes matching keys from parts written strictly
+    BEFORE epoch E — a url expired at epoch E and re-discovered at E or
+    later rides a part with epoch ≥ E and survives. Tombstones are one
+    expiry batch each (quota-bounded), so the anti-join broadcasts them
+    against the scan — the big table is never shuffled."""
+    compact_dir, deltas, tombs = _log_parts(ckpt, name, up_to_epoch)
     dirs = ([compact_dir] if compact_dir else []) + deltas
     schema = _TABLE_SCHEMAS[name]
     if not dirs:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*dirs)
+    if not tombs:
+        return spark.read.schema(schema).parquet(*dirs)
+    key = _DELETE_KEYS[name]
+    parts = None
+    for d in dirs:
+        p = spark.read.schema(schema).parquet(d).withColumn(
+            "_part_epoch", F.lit(_part_epoch(d))
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    tomb = None
+    for d in tombs:
+        t = spark.read.parquet(d).select(
+            F.col(key).alias("_del_key"), F.lit(_part_epoch(d)).alias("_del_epoch")
+        )
+        tomb = t if tomb is None else tomb.unionByName(t)
+    live = parts.join(
+        F.broadcast(tomb),
+        (F.col(key) == F.col("_del_key"))
+        & (F.col("_del_epoch") > F.col("_part_epoch")),
+        "left_anti",
+    )
+    return live.drop("_part_epoch")
 
 
 def read_state_tables(spark, ckpt: str, names: list) -> dict:
@@ -263,6 +311,8 @@ class CrawlEngine:
     # one-shot flag: the Observation-future fast path silently degrading
     # to fallback recompute jobs must be visible at least once per process
     _warned_obs_fallback = False
+    # one-shot flag: bloom+TTL's O(total-seen) filter rebuild per expiry
+    _warned_bloom_ttl = False
 
     def __init__(
         self,
@@ -307,6 +357,9 @@ class CrawlEngine:
         # per-table delta DataFrames accumulated since the last commit
         # (the Iceberg AppendFiles payload); cleared on every commit
         self._uncommitted: dict = {}
+        # per-table [(expiry_epoch, keys_df)] tombstones accumulated since
+        # the last commit (the Iceberg equality-delete payload)
+        self._uncommitted_deletes: dict = {}
 
     # ---------------- snapshot plumbing ----------------
 
@@ -324,9 +377,10 @@ class CrawlEngine:
         self._uncommitted.setdefault(name, []).append(rows)
 
     def _append_mode(self) -> bool:
-        # TTL expiry DELETES url_seen/extracted rows — append-only logs
-        # can't express that, so TTL runs commit full tables
-        return self.cfg.recrawl_ttl_epochs is None
+        # always delta commits: TTL expiry's url_seen/extracted deletes
+        # are expressed as per-epoch tombstone files (the Iceberg
+        # equality-delete analog) instead of full-table rewrites
+        return True
 
     def _read_log_table(self, name: str, up_to_epoch: int) -> DataFrame:
         return read_log_table(self.spark, self.ckpt, name, up_to_epoch)
@@ -358,6 +412,15 @@ class CrawlEngine:
                     delta.write.mode("overwrite").parquet(
                         os.path.join(self._log_dir(name), f"commit-{epoch:05d}")
                     )
+                # TTL tombstones: one delete-EEEEE dir per expiry epoch,
+                # keys only (Iceberg equality-delete files). Idempotent
+                # on replay (mode overwrite); dirs ahead of the manifest
+                # epoch are invisible to _log_parts until committed.
+                key = _DELETE_KEYS.get(name)
+                for del_epoch, keys_df in self._uncommitted_deletes.get(name, []):
+                    keys_df.select(key).write.mode("overwrite").parquet(
+                        os.path.join(self._log_dir(name), f"delete-{del_epoch:05d}")
+                    )
                 # log compaction (Iceberg rewrite-data-files analog):
                 # once the delta chain is longer than the threshold,
                 # write the whole table as a new compacted base — an
@@ -366,8 +429,8 @@ class CrawlEngine:
                 # 10^4 delta dirs per read. Obsolete dirs are removed
                 # only AFTER the manifest rename (crash between the two
                 # leaves stray dirs that the read rule already ignores).
-                _b, deltas = _log_parts(self.ckpt, name, epoch)
-                if len(deltas) > self.cfg.log_compact_dirs:
+                _b, deltas, tombs = _log_parts(self.ckpt, name, epoch)
+                if len(deltas) + len(tombs) > self.cfg.log_compact_dirs:
                     _write_compact_atomic(self._state[name], self._log_dir(name), epoch)
                     compacted.append(name)
             full_tables = _FULL_TABLES
@@ -385,6 +448,7 @@ class CrawlEngine:
         # commit isn't skipped by a caller that caught the error
         self._last_committed = epoch
         self._uncommitted = {}
+        self._uncommitted_deletes = {}
         self._log_needs_seed = False
         # reload state from disk → truncates iterative lineage
         for name in full_tables:
@@ -431,7 +495,7 @@ class CrawlEngine:
                 # keeps every retained read intact — delete only
                 # compacts strictly older than base(oldest_kept) and
                 # commits it covers.
-                base_keep, _ = _log_parts(self.ckpt, name, oldest_kept)
+                base_keep, _, _ = _log_parts(self.ckpt, name, oldest_kept)
                 base_keep_epoch = (
                     int(os.path.basename(base_keep).split("-")[1])
                     if base_keep
@@ -444,8 +508,13 @@ class CrawlEngine:
                             shutil.rmtree(os.path.join(base, x), ignore_errors=True)
                         continue
                     kind, xe = x.split("-")[0], int(x.split("-")[1])
-                    covered = (kind == "commit" and xe <= base_keep_epoch) or (
-                        kind == "compact" and xe < base_keep_epoch
+                    # tombstones at/before base_keep are no-ops for every
+                    # retained read (any surviving part has epoch ≥
+                    # base_keep ≥ tombstone epoch) — deletable
+                    covered = (
+                        (kind == "commit" and xe <= base_keep_epoch)
+                        or (kind == "compact" and xe < base_keep_epoch)
+                        or (kind == "delete" and xe <= base_keep_epoch)
                     )
                     if covered:
                         shutil.rmtree(os.path.join(base, x), ignore_errors=True)
@@ -491,6 +560,7 @@ class CrawlEngine:
             # must seed the log with the full pre-resume state
             self._log_needs_seed = True
         self._uncommitted = {}
+        self._uncommitted_deletes = {}
         # the loaded epoch IS committed — without this, a run() that
         # stops before any new epoch would re-commit into the very
         # snapshot dir these lazy readers point at (overwrite-while-
@@ -551,6 +621,7 @@ class CrawlEngine:
         # the seed rows are commit 0's url_seen delta; every other
         # append table starts empty
         self._uncommitted = {"url_seen": [url_seen]}
+        self._uncommitted_deletes = {}
 
     def _filter_kind(self) -> str:
         return self.cfg.seen_filter if self.cfg.use_bloom else "none"
@@ -609,7 +680,14 @@ class CrawlEngine:
             if time.monotonic() >= deadline:
                 return fallback()
             time.sleep(0.02)
-        row = obs.get
+        try:
+            row = obs.get
+        except Exception:
+            # AQE optimized the CollectMetrics node out over a runtime-
+            # empty relation: the future "completes" with no row and
+            # toPyRow raises — the expected per-epoch empty-batch case,
+            # not API drift, so no warning here
+            return fallback()
         return tuple(row[n] for n in names)
 
     def _assign_seq(self, df, order_cols, seq_col, start, n_rows):
@@ -623,11 +701,12 @@ class CrawlEngine:
             )
         return with_global_seq(df, order_cols, seq_col, start)
 
-    def _expire_seen(self, expire_epoch: int) -> None:
+    def _expire_seen(self, expire_epoch: int, epoch: int) -> None:
         """TTL expiry: drop from URL-seen every url whose LATEST
         scheduling was at *expire_epoch*. The candidate set is one
         epoch's quota-bounded batch (broadcastable, like the fetch
-        join)."""
+        join). *epoch* is the current epoch — the deletion's sequence
+        number in the tombstone log."""
         expired = expired_urls(self._state["crawl_order"], expire_epoch).persist()
         try:
             if expired.count() == 0:
@@ -635,6 +714,23 @@ class CrawlEngine:
             self._state["url_seen"] = self._state["url_seen"].join(
                 F.broadcast(expired), "url", "left_anti"
             )
+            # record the tombstone (keys only) for the next commit, and
+            # scrub the keys from any not-yet-committed append parts —
+            # a delete-E tombstone only covers parts written BEFORE
+            # epoch E, and deferred commits would land pre-expiry rows
+            # in a part stamped at the later commit epoch
+            tomb_tables = ["url_seen"] + (
+                ["extracted"] if self._alias_map is not None else []
+            )
+            for name in tomb_tables:
+                self._uncommitted_deletes.setdefault(name, []).append(
+                    (epoch, expired)
+                )
+                if self._uncommitted.get(name):
+                    self._uncommitted[name] = [
+                        p.join(F.broadcast(expired), "url", "left_anti")
+                        for p in self._uncommitted[name]
+                    ]
             if self.cfg.use_bloom:
                 if self.cfg.seen_filter == "cuckoo":
                     from .cuckoo import delete_from_cuckoo_segments
@@ -649,7 +745,20 @@ class CrawlEngine:
                         self._state["segments"], keys
                     )
                 else:
-                    # bloom bits can't be unset: rebuild from survivors
+                    # bloom bits can't be unset: rebuild from survivors —
+                    # O(total seen) per expiry epoch. Fine at small state;
+                    # at 10^10 keys use seen_filter="cuckoo", whose
+                    # fingerprint deletes are O(expired) with untouched
+                    # segments passed through byte-identical.
+                    if not CrawlEngine._warned_bloom_ttl:
+                        CrawlEngine._warned_bloom_ttl = True
+                        logger.warning(
+                            "TTL expiry with seen_filter='bloom' rebuilds "
+                            "the whole filter from the surviving seen set "
+                            "every expiry epoch (O(total)); prefer "
+                            "seen_filter='cuckoo' for TTL runs (O(expired) "
+                            "fingerprint deletes)"
+                        )
                     self._state["segments"] = build_segments(
                         self._state["url_seen"], None, self.cfg.bloom_m_bits
                     )
@@ -675,7 +784,7 @@ class CrawlEngine:
         dequeue_seq = self._manifest["dequeue_seq"]
 
         if cfg.recrawl_ttl_epochs is not None and epoch - cfg.recrawl_ttl_epochs >= 0:
-            self._expire_seen(epoch - cfg.recrawl_ttl_epochs)
+            self._expire_seen(epoch - cfg.recrawl_ttl_epochs, epoch)
 
         from pyspark.sql import Observation
 

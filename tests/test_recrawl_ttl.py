@@ -71,6 +71,103 @@ def test_no_ttl_means_no_refetch(spark, web, tmp_path):
     assert len(urls) == len(set(urls))
 
 
+def test_ttl_commits_are_delta_plus_tombstones(spark, web, tmp_path):
+    """A TTL run must keep O(epoch-delta) commits: url_seen lands as
+    per-epoch append dirs plus per-expiry delete-NNNNN tombstone dirs
+    (the Iceberg equality-delete analog) — never a full-table rewrite —
+    and the log read rule (base + appends − tombstones, sequence-aware)
+    reproduces the exact live state across resume."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    cfg, corpus, robots = web
+    seeds = seed_urls(cfg, 3)
+    ck = str(tmp_path / "ttl_delta")
+    eng = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=6, epoch_ms=8000, n_seen_buckets=8,
+                     checkpoint_dir=ck, seen_filter="cuckoo",
+                     cuckoo_n_buckets=1 << 10, recrawl_ttl_epochs=2),
+    )
+    eng.run(seeds)
+
+    log_seen = os.path.join(ck, "log", "url_seen")
+    names = sorted(os.listdir(log_seen))
+    assert any(x.startswith("delete-") for x in names), names
+    assert any(x.startswith("commit-") for x in names), names
+
+    def rows_in(d):
+        return sum(
+            pq.read_table(os.path.join(root, f)).num_rows
+            for root, _d, files in os.walk(os.path.join(log_seen, d))
+            for f in files if f.endswith(".parquet")
+        )
+
+    total = eng.url_seen.count()
+    commits = [x for x in names if x.startswith("commit-")]
+    # every commit after the first is a strict subset — a TTL run that
+    # fell back to full-table commits would rewrite ~total rows per dir
+    assert all(0 < rows_in(c) < total for c in commits[1:]), {
+        c: rows_in(c) for c in commits
+    }
+    # tombstones are expiry-batch-sized, not table-sized
+    deletes = [x for x in names if x.startswith("delete-")]
+    assert all(0 < rows_in(x) < total for x in deletes)
+
+    # a fresh engine resuming the checkpoint reads the identical state
+    cont = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=6, epoch_ms=8000, n_seen_buckets=8,
+                     checkpoint_dir=ck, seen_filter="cuckoo",
+                     cuckoo_n_buckets=1 << 10, recrawl_ttl_epochs=2),
+    )
+    cont.resume()
+    assert {r.url for r in cont.url_seen.collect()} == {
+        r.url for r in eng.url_seen.collect()
+    }
+    assert [(r.seq, r.url) for r in cont.crawl_order.collect()] == [
+        (r.seq, r.url) for r in eng.crawl_order.collect()
+    ]
+
+
+def test_ttl_parity_with_deferred_commits(spark, web, tmp_path):
+    """TTL expiry between commits (commit_every=3) must scrub expired
+    keys from not-yet-committed append parts: a deferred part is stamped
+    with the COMMIT epoch, so a delete-E tombstone (covering parts < E)
+    would otherwise resurrect pre-expiry rows riding the later part."""
+    cfg, corpus, robots = web
+    seeds = seed_urls(cfg, 3)
+    oracle = crawl_oracle(
+        cfg, seeds, robots_rows(cfg), max_epochs=7, epoch_ms=8000,
+        recrawl_ttl_epochs=2,
+    )
+    eng = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(
+            max_epochs=5, epoch_ms=8000, n_seen_buckets=8,
+            checkpoint_dir=str(tmp_path / "ttl_defer"), seen_filter="cuckoo",
+            cuckoo_n_buckets=1 << 10, recrawl_ttl_epochs=2, commit_every=3,
+        ),
+    )
+    eng.run(seeds)
+    # resume from the mid-run checkpoint and continue to the horizon
+    cont = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(
+            max_epochs=7, epoch_ms=8000, n_seen_buckets=8,
+            checkpoint_dir=str(tmp_path / "ttl_defer"), seen_filter="cuckoo",
+            cuckoo_n_buckets=1 << 10, recrawl_ttl_epochs=2, commit_every=3,
+        ),
+    )
+    cont.resume()
+    cont.run()
+    assert [(r.seq, r.url, r.epoch) for r in cont.crawl_order.collect()] == [
+        (s, u, e) for (s, u, e, _h) in oracle.crawl_order
+    ]
+    assert {r.url for r in cont.url_seen.collect()} == oracle.url_seen
+
+
 def test_delete_passthrough_preserves_untouched_segments(spark):
     from crawler_spark.cuckoo import build_cuckoo_segments, delete_from_cuckoo_segments
     from crawler_spark.seen import bucket_expr
