@@ -803,21 +803,98 @@ def q_pagination_detect(spark, sf_dir):
 # ---- rows-only queries (no exact SQL restatement) ----
 
 
+N_CRAWL_DOCS = 240  # corpus bound shared by the crawl-chain queries + SQL
+N_CRAWL_EPOCHS = 3
+CRAWL_EPOCH_MS = 8000
+# harvest model: keeps the j0/j2 same-host chains (xpath xp0/xp2) and
+# drops the j1 chains (xp1) — a real divergence from the plain crawl.
+# Paging: the digit-text override below lands on xpath xp0 links.
+HARVEST_MODEL_XP = ("xp0", "xp2")
+HARVEST_PAGING_XP = ("xp0", "xpnav")
+# seed docs chosen so the same-host link graph actually GROWS across
+# epochs (tgt ≡ src (mod 20) requires doc ≡ 19 (20) for j0, ≡ 6 (10)
+# for j1, ≡ 15 (20) for j2): 6→26→86→266, 15→75→315 (paging chain),
+# 19→39→[79 is javascript], 36→116 (116 robots-disallowed on host 16)
+CRAWL_SEED_DOCS = (6, 15, 19, 36)
+# digit-anchor override: links (doc ≡ 15 mod 60, j=2) get digit text so
+# the paging queue is non-vacuous on same-host links (the base text
+# rule (doc+j)%6==0 never coincides with the same-host residues)
+_DIGIT_OVERRIDE = "(l.doc_id % 60 = 15 AND l.j = 2)"
+
+
+def _doc_corpus(spark, sf_dir):
+    """CrawlEngine corpus derived from the documents table by the SAME
+    integer arithmetic as _links_df/_LINKS_CTE, so a DuckDB oracle can
+    restate the whole multi-epoch crawl. javascript links keep their
+    is_js identity as literal 'javascript:void(0)' hrefs (the engine's
+    canonicalizer drops them; the SQL filters NOT is_js)."""
+    links = _links_df(spark, sf_dir).filter(F.col("doc_id") < N_CRAWL_DOCS)
+    # digit-anchor override (see _DIGIT_OVERRIDE): same value formula as
+    # the base digit rule so the text is plain digits either way
+    text = F.when(
+        (F.col("doc_id") % 60 == 15) & (F.col("j") == 2),
+        ((F.col("doc_id") * 5 + F.col("j")) % 20 + 1).cast("string"),
+    ).otherwise(F.col("text"))
+    link_struct = F.struct(
+        F.when(F.col("is_js"), F.lit("javascript:void(0)"))
+        .otherwise(F.col("href"))
+        .alias("href"),
+        text.alias("text"),
+        F.col("xpath").alias("xpath"),
+        F.col("nofollow").alias("nofollow"),
+    )
+    agg = links.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("j"), link_struct.alias("l")))),
+            lambda s: s["l"],
+        ).alias("out_links")
+    )
+    return agg.select(
+        _url_expr(F.col("doc_id"), F.col("doc_id") % N_HOSTS).alias("url"),
+        F.concat(
+            F.lit("host"), (F.col("doc_id") % N_HOSTS).cast("string"), F.lit(".test")
+        ).alias("host"),
+        "out_links",
+        F.lit(False).alias("is_leaf"),
+    )
+
+
+def _doc_robots(spark):
+    """Per-host politeness for the documents-derived web: hosts h%4==0
+    disallow the '/p/1' path prefix; crawl delay 1000·(1+h%3) ms — the
+    same rule the chained SQL oracle states inline."""
+    return spark.createDataFrame(
+        [
+            (
+                f"host{h}.test",
+                ["/p/1"] if h % 4 == 0 else [],
+                1000 * (1 + h % 3),
+            )
+            for h in range(N_HOSTS)
+        ],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms long",
+    )
+
+
+def _crawl_seeds():
+    return [f"http://host{d % N_HOSTS}.test/p/{d}" for d in CRAWL_SEED_DOCS]
+
+
 def q_crawl_epoch(spark, sf_dir):
-    """One full engine epoch on a mini synthetic web: politeness dequeue →
-    fetch join → extract → seen anti-join. Rows-only check (the exact-
-    match gate for the full engine is tests/test_engine_parity.py, which
-    compares multi-epoch crawl order against the sequential oracle)."""
-    from crawler_spark.engine import CrawlEngine, EngineConfig
-    from crawler_spark.schema import ROBOTS_SCHEMA
-    from crawler_spark.synth import SynthConfig, corpus_df, robots_rows, seed_urls
+    """THREE full engine epochs, DRIVER-ORACLED: the REAL CrawlEngine
+    (politeness dequeue → fetch join → extract → first-wins → seen
+    anti-join → sequence assignment → frontier merge-back, per epoch) on
+    the documents-derived link graph, hash-checked against a chained
+    3-epoch DuckDB CTE restatement of the sequential oracle semantics
+    (crawler_spark/oracle.py; reference crawl.clj:46-198). The synth-web
+    multi-epoch gate stays in tests/test_engine_parity.py."""
+    import os
     import tempfile
 
-    import os
+    from crawler_spark.engine import CrawlEngine, EngineConfig
 
-    cfg = SynthConfig(n_pages=300, n_hosts=8, with_images=False)
-    corpus = corpus_df(spark, cfg)
-    robots = spark.createDataFrame(robots_rows(cfg), ROBOTS_SCHEMA)
+    corpus = _doc_corpus(spark, sf_dir)
+    robots = _doc_robots(spark)
     # contract-run economics: tmpfs checkpoint (the sandbox NVMe fsyncs
     # at ~1.3 ms), single exit commit, no extra metrics scan — none of
     # these change crawl_order (parity tests run the detailed path)
@@ -825,51 +902,54 @@ def q_crawl_epoch(spark, sf_dir):
         dir="/dev/shm" if os.path.isdir("/dev/shm") else None
     )
     eng = CrawlEngine(
-        spark,
-        corpus,
-        robots,
+        spark, corpus, robots,
         EngineConfig(
-            max_epochs=2, epoch_ms=8000, checkpoint_dir=scratch,
-            commit_every=3, detailed_metrics=False,
+            max_epochs=N_CRAWL_EPOCHS, epoch_ms=CRAWL_EPOCH_MS,
+            checkpoint_dir=scratch, commit_every=4, detailed_metrics=False,
         ),
     )
-    eng.run(seed_urls(cfg, 4))
-    return eng.crawl_order
+    eng.run(_crawl_seeds())
+    return eng.crawl_order.select(
+        F.col("seq").cast("long").alias("seq"),
+        "url",
+        F.col("epoch").cast("long").alias("epoch"),
+    )
 
 
 def q_crawl_harvest(spark, sf_dir):
     """E3 model-driven harvest (reference execute-model automaton,
-    crawl.clj:246-530, execute.clj:10-58): run the engine with a learned
-    model's xpath actions + pagination xpaths and a leaf budget; return
-    the harvest crawl order. Rows-only for the driver — the exact-match
-    gate is tests/test_cli.py::test_execute_model_parity, which compares
-    crawl order, URL-seen set and per-epoch metrics against the
-    sequential oracle under the same model."""
+    crawl.clj:246-530, execute.clj:10-58), DRIVER-ORACLED over three
+    epochs: the engine runs with learned model xpaths + pagination
+    xpaths on the documents-derived graph; the DuckDB twin chains the
+    same epochs with the harvest link classification (digit-anchor on a
+    paging xpath → paging queue, model-covered xpath → content,
+    everything else dropped) plus the dual-queue deepest-paging-first
+    dequeue. Exact multi-epoch engine gate vs the sequential oracle:
+    tests/test_cli.py::test_execute_model_parity."""
     import os
     import tempfile
 
     from crawler_spark.engine import CrawlEngine, EngineConfig
-    from crawler_spark.schema import ROBOTS_SCHEMA
-    from crawler_spark.synth import (
-        XPATHS, SynthConfig, corpus_df, robots_rows, seed_urls,
-    )
 
-    cfg = SynthConfig(n_pages=300, n_hosts=8, with_images=False)
-    corpus = corpus_df(spark, cfg)
-    robots = spark.createDataFrame(robots_rows(cfg), ROBOTS_SCHEMA)
+    corpus = _doc_corpus(spark, sf_dir)
+    robots = _doc_robots(spark)
     eng = CrawlEngine(
         spark, corpus, robots,
         EngineConfig(
-            max_epochs=3, epoch_ms=8000, leaf_limit=40,
+            max_epochs=N_CRAWL_EPOCHS, epoch_ms=CRAWL_EPOCH_MS,
             checkpoint_dir=tempfile.mkdtemp(
                 dir="/dev/shm" if os.path.isdir("/dev/shm") else None
             ),
-            model_xpaths=tuple(XPATHS[:3]), paging_xpaths=tuple(XPATHS[3:5]),
-            commit_every=3, detailed_metrics=False,
+            model_xpaths=HARVEST_MODEL_XP, paging_xpaths=HARVEST_PAGING_XP,
+            commit_every=4, detailed_metrics=False,
         ),
     )
-    eng.run(seed_urls(cfg, 4))
-    return eng.crawl_order
+    eng.run(_crawl_seeds())
+    return eng.crawl_order.select(
+        F.col("seq").cast("long").alias("seq"),
+        "url",
+        F.col("epoch").cast("long").alias("epoch"),
+    )
 
 
 def q_rtdm_consec(spark, sf_dir):
@@ -1207,6 +1287,111 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_stats": q_image_decode_stats,
         "image_neardup": q_image_neardup,
     }
+
+
+def _crawl_chain_sql(harvest: bool) -> str:
+    """Chained multi-epoch DuckDB restatement of the engine crawl loop
+    (sequential-oracle semantics, crawler_spark/oracle.py; reference
+    crawl.clj:46-198): per epoch — robots drop, dual-queue per-host
+    quota window (content FIFO; paging deepest-src_xpath-first, only on
+    hosts with no pending content), link extraction from the fetched
+    pages, within-epoch first-wins, seen anti-join, insertion-sequence
+    continuation, frontier merge-back. Epochs unroll as CTE blocks;
+    harvest=True adds the execute-model link classification."""
+    K, epochs, ems = N_CRAWL_DOCS, N_CRAWL_EPOCHS, CRAWL_EPOCH_MS
+    is_digit = (
+        "(regexp_full_match(coalesce(l.text, ''), '[0-9]+') "
+        f"OR {_DIGIT_OVERRIDE})"
+    )
+    if harvest:
+        pg = ", ".join(f"'{x}'" for x in HARVEST_PAGING_XP)
+        md = ", ".join(f"'{x}'" for x in HARVEST_MODEL_XP)
+        keep_paging = f"({is_digit} AND l.xpath IN ({pg}))"
+        cand_filter = (
+            f"AND ({keep_paging} OR (NOT {keep_paging} AND l.xpath IN ({md})))"
+        )
+        queue_case = (
+            f"CASE WHEN {keep_paging} THEN 'paging' ELSE 'content' END"
+        )
+    else:
+        cand_filter = ""
+        queue_case = f"CASE WHEN {is_digit} THEN 'paging' ELSE 'content' END"
+
+    parts = [
+        f"WITH {_LINKS_CTE.strip().lstrip('WITH').strip()},",
+        f"""
+seeds AS (
+  SELECT d.doc_id, d.doc_id % {N_HOSTS} AS host,
+         'http://host' || CAST(d.doc_id % {N_HOSTS} AS VARCHAR)
+           || '.test/p/' || CAST(d.doc_id AS VARCHAR) AS url,
+         row_number() OVER (ORDER BY d.doc_id) - 1 AS insertion_seq,
+         'content' AS queue, CAST(NULL AS VARCHAR) AS src_xpath
+  FROM documents d
+  WHERE d.doc_id IN ({", ".join(str(x) for x in CRAWL_SEED_DOCS)})),
+frontier0 AS (SELECT * FROM seeds),
+seen0 AS (SELECT url FROM seeds),""",
+    ]
+    for k in range(epochs):
+        seq_base = " + ".join(
+            [f"(SELECT COUNT(*) FROM ord{i})" for i in range(k)]
+        ) or "0"
+        next_base = " + ".join(
+            ["4"] + [f"(SELECT COUNT(*) FROM new{i})" for i in range(k)]
+        )
+        parts.append(f"""
+allowed{k} AS (
+  SELECT * FROM frontier{k}
+  WHERE NOT (host % 4 = 0
+             AND starts_with('/p/' || CAST(doc_id AS VARCHAR), '/p/1'))),
+pool{k} AS (
+  SELECT a.* FROM allowed{k} a
+  WHERE NOT (a.queue = 'paging' AND a.host IN
+             (SELECT host FROM allowed{k} WHERE queue = 'content'))),
+sel{k} AS (
+  SELECT * FROM (
+    SELECT p.*, row_number() OVER (
+        PARTITION BY host
+        ORDER BY CASE WHEN queue = 'paging'
+                      THEN -length(coalesce(src_xpath, '')) ELSE 0 END,
+                 insertion_seq) AS rn
+    FROM pool{k} p)
+  WHERE rn <= GREATEST(1, {ems} // (1000 * (1 + host % 3)))),
+ord{k} AS (
+  SELECT url,
+         {seq_base} + row_number() OVER (ORDER BY insertion_seq) - 1 AS seq,
+         {k} AS epoch
+  FROM sel{k}),
+cand{k} AS (
+  SELECT l.tgt AS doc_id, l.tgt_host AS host, l.j,
+         s.insertion_seq AS src_seq, l.xpath AS src_xpath, l.href AS url,
+         {queue_case} AS queue
+  FROM links2 l JOIN sel{k} s ON s.doc_id = l.doc_id
+  WHERE l.doc_id < {K} AND NOT l.is_js AND NOT l.nofollow
+    AND l.tgt_host = l.src_host {cand_filter}),
+firstw{k} AS (
+  SELECT * FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY url
+                                   ORDER BY src_seq, j) AS rn
+    FROM cand{k} c)
+  WHERE rn = 1),
+new{k} AS (
+  SELECT doc_id, host, url, queue, src_xpath,
+         {next_base} + row_number() OVER (ORDER BY src_seq, j) - 1
+           AS insertion_seq
+  FROM firstw{k} f
+  WHERE NOT EXISTS (SELECT 1 FROM seen{k} sn WHERE sn.url = f.url)),
+frontier{k + 1} AS (
+  SELECT doc_id, host, url, insertion_seq, queue, src_xpath FROM allowed{k}
+  WHERE insertion_seq NOT IN (SELECT insertion_seq FROM sel{k})
+  UNION ALL
+  SELECT doc_id, host, url, insertion_seq, queue, src_xpath FROM new{k}),
+seen{k + 1} AS (SELECT url FROM seen{k} UNION ALL SELECT url FROM new{k}),""")
+    union = " UNION ALL ".join(f"SELECT * FROM ord{i}" for i in range(epochs))
+    parts.append(f"""
+all_ord AS ({union})
+SELECT CAST(seq AS BIGINT) AS seq, url, CAST(epoch AS BIGINT) AS epoch
+FROM all_ord""")
+    return "\n".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1821,6 +2006,10 @@ def oracle_sql() -> dict[str, str]:
                      / (4.0 + 2.0 * a.n + 2.0 * b.n), 4) AS rtdm
         FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
     """
+    # crawl_epoch / crawl_harvest: the REAL engine's 3-epoch crawl order
+    # vs the chained CTE restatement (was rows-only through round 2)
+    sqls["crawl_epoch"] = _crawl_chain_sql(harvest=False)
+    sqls["crawl_harvest"] = _crawl_chain_sql(harvest=True)
     # crawl_epoch_oracle: one epoch of the engine's operator chain —
     # robots disallow, per-host quota = 20000 // (1000·(1+h%3)) FIFO
     # window, same-host link extract, first-wins dedup, seen anti-join,
