@@ -89,11 +89,25 @@ def build_segments(
             }
         )
 
-    return (
-        existing_segments.unionByName(fresh)
+    # touched-bucket-only maintenance: segments whose bucket has no
+    # fresh rows pass through UNCHANGED (one broadcast anti-join on the
+    # batch's distinct bucket ids) — only touched buckets enter the
+    # Arrow merge stage. Merging ALL segments per epoch is O(total
+    # filter bytes): a ~17 GB/epoch Python pass at 10^10 keys for a
+    # quota-bounded batch that touches a handful of buckets.
+    touched_ids = new_rows.select("partition_id").distinct()
+    untouched = existing_segments.join(
+        F.broadcast(touched_ids), "partition_id", "left_anti"
+    )
+    touched = existing_segments.join(
+        F.broadcast(touched_ids), "partition_id", "left_semi"
+    )
+    merged = (
+        touched.unionByName(fresh)
         .groupBy("partition_id")
         .applyInPandas(merge, BLOOM_SEGMENT_SCHEMA)
     )
+    return untouched.unionByName(merged)
 
 
 def _anti_join_scan_only(

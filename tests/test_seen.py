@@ -39,3 +39,38 @@ def test_seen_side_never_shuffles(spark):
     plan = explain_str(anti_join_seen(cand, seen, None, M_BITS))
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_untouched_segments_bypass_merge(spark):
+    """Touched-bucket-only maintenance: a bucket with no fresh rows must
+    pass its existing segment through WITHOUT entering the Arrow merge
+    stage. Proof: plant a sentinel bits blob of the WRONG length on the
+    untouched buckets — the merge's frombuffer-OR would either raise or
+    rewrite it; pass-through returns it byte-identical."""
+    seen = _mk(spark, [f"http://h.test/p/{i}" for i in range(400)])
+    segs = build_segments(seen, None, M_BITS)
+    base = {r.partition_id: bytes(r.bits) for r in segs.collect()}
+    assert set(base) == set(range(N_BUCKETS))
+
+    sentinel = b"\x7f"  # 1 byte — invalid inside the m_bits//8 merge
+    fresh = _mk(spark, [f"http://h.test/p/{i}" for i in range(400, 1400)]).filter(
+        F.col("partition_id") == 3
+    )
+    assert fresh.count() > 0
+    doctored = spark.createDataFrame(
+        [
+            (pid, bits if pid == 3 else sentinel, 400)
+            for pid, bits in base.items()
+        ],
+        "partition_id int, bits binary, n_items long",
+    )
+    out = {r.partition_id: bytes(r.bits) for r in build_segments(
+        fresh, doctored, M_BITS
+    ).collect()}
+    assert set(out) == set(range(N_BUCKETS))
+    for pid in range(N_BUCKETS):
+        if pid == 3:
+            assert len(out[pid]) == M_BITS // 8
+            assert out[pid] != base[pid], "touched bucket must change"
+        else:
+            assert out[pid] == sentinel, f"bucket {pid} entered the merge"
