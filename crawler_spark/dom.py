@@ -204,11 +204,63 @@ def node_to_xpath(node: Node) -> str:
     )
 
 
-def page_anchors(html: str) -> list:
+def sibling_position(node: Node) -> int:
+    """0-based index of *node* among its parent's children that share
+    the same tag AND the same raw class attribute value — the
+    reference's child-position (dom.clj:134-151). The root (no parent)
+    is child 0 of the document."""
+    parent = node.parent
+    if parent is None:
+        return 0
+    cls = node.attrs.get("class")
+    same = [
+        c
+        for c in parent.children
+        if c.tag == node.tag and c.attrs.get("class") == cls
+    ]
+    return same.index(node)
+
+
+def tag_class_pos_to_xpath(tag: str, first_class, pos) -> str:
+    """Position-qualified component (dom.clj:152-199 tag-id-class-node →
+    tag-id-class->xpath): only the FIRST formatted class is used (no id
+    slot in this form), and the sibling position is appended as a
+    predicate — tag[contains(@class,'c')][2] / tag[2]. The reference
+    renders the 0-based index verbatim (XPath itself is 1-based; these
+    strings are grouping keys first), mirrored here."""
+    base = f"{tag}[contains(@class,'{first_class}')]" if first_class else tag
+    return base if pos is None else f"{base}[{pos}]"
+
+
+def node_to_xpath_positioned(node: Node) -> str:
+    """Position-qualified generalized xpath (the w3c-node->xpath form,
+    dom.clj:206-210): distinguishes identical class-less siblings that
+    the tag/id/class form of node_to_xpath collapses."""
+    comps = []
+    for n in path_root_seq(node):
+        classes = [
+            c
+            for c in (
+                format_attr(x) for x in (n.attrs.get("class") or "").split()
+            )
+            if c
+        ]
+        comps.append(
+            tag_class_pos_to_xpath(
+                n.tag, classes[0] if classes else None, sibling_position(n)
+            )
+        )
+    return "/" + "/".join([""] + comps)
+
+
+def page_anchors(html: str, positioned: bool = False) -> list:
     """One page → [(pos, href, text, xpath, nofollow)] in document order.
     The P1-P3 pipeline front door: parse, walk anchors, generalize each
     anchor's root path. Anchors without href are skipped (the reference's
-    decision space is href-bearing anchors, dom.clj:311-369)."""
+    decision space is href-bearing anchors, dom.clj:311-369).
+    ``positioned=True`` emits the sibling-position-qualified xpath form
+    (w3c-node->xpath) instead of the tag/id/class form."""
+    to_xpath = node_to_xpath_positioned if positioned else node_to_xpath
     out = []
     for pos, a in enumerate(anchor_tags(parse_html(html))):
         href = a.attrs.get("href")
@@ -228,7 +280,7 @@ def page_anchors(html: str) -> list:
                 pos,
                 href,
                 a.text().strip(),
-                node_to_xpath(a),
+                to_xpath(a),
                 "nofollow" in rel,
             )
         )
@@ -242,12 +294,18 @@ def page_anchors(html: str) -> list:
 ANCHOR_FIELDS = "pos int, href string, text string, xpath string, nofollow boolean"
 
 
-def anchors_from_html(df, html_col: str = "html", key_cols: tuple = ("url",)):
+def anchors_from_html(
+    df,
+    html_col: str = "html",
+    key_cols: tuple = ("url",),
+    positioned: bool = False,
+):
     """(key_cols..., html) → one row per anchor: (key_cols..., pos, href,
     text, xpath, nofollow). Arrow-batched mapInPandas; no shuffle — each
     input partition parses independently, so this scales with executors
     like any map stage. Projection first so only the html column and keys
-    cross into Python."""
+    cross into Python. ``positioned=True`` emits the sibling-position-
+    qualified xpath variant (dom.clj:152-199)."""
     import pandas as pd
 
     keys = list(key_cols)
@@ -262,7 +320,9 @@ def anchors_from_html(df, html_col: str = "html", key_cols: tuple = ("url",)):
             rows = []
             for rec in pdf.itertuples(index=False):
                 key_vals = tuple(rec[: len(keys)])
-                for pos, href, text, xpath, nofollow in page_anchors(rec[-1]):
+                for pos, href, text, xpath, nofollow in page_anchors(
+                    rec[-1], positioned=positioned
+                ):
                     rows.append(key_vals + (pos, href, text, xpath, nofollow))
             yield pd.DataFrame(
                 rows, columns=keys + ["pos", "href", "text", "xpath", "nofollow"]

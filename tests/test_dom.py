@@ -57,6 +57,50 @@ def test_tags_to_xpath():
     )
 
 
+def test_positioned_xpath_distinguishes_classless_siblings():
+    """Sibling-position variant (dom.clj:134-199 child-position +
+    tag-id-class-node): identical class-less siblings that the
+    tag/id/class form collapses get distinct position predicates."""
+    html = (
+        "<html><body>"
+        "<div><a href='/a'>x</a><a href='/b'>y</a></div>"
+        "<div class='nav box'><a href='/c'>z</a></div>"
+        "</body></html>"
+    )
+    anchors = dom.anchor_tags(dom.parse_html(html))
+    flat = [dom.node_to_xpath(a) for a in anchors]
+    assert flat[0] == flat[1], "flat form collapses the twins"
+    pos = [dom.node_to_xpath_positioned(a) for a in anchors]
+    # reference form: first class only, 0-based sibling index appended
+    assert pos[0] == "//html[0]/body[0]/div[0]/a[0]"
+    assert pos[1] == "//html[0]/body[0]/div[0]/a[1]"
+    assert pos[2] == "//html[0]/body[0]/div[contains(@class,'nav')][0]/a[0]"
+    assert pos[0] != pos[1]
+
+
+def test_positioned_xpath_on_reference_fixture():
+    # the dom_test.clj fixture through the positioned form: first class
+    # only (no id slot, dom.clj:152-179), trailing digits stripped
+    a = dom.anchor_tags(dom.parse_html(_read("tag-id-class-test.html")))[0]
+    got = dom.node_to_xpath_positioned(a)
+    assert got.endswith("/a[contains(@class,'hello')][0]"), got
+
+
+def test_positioned_sibling_counts_same_class_only():
+    """child-position counts only siblings with the SAME tag and SAME
+    raw class value (dom.clj:134-151): a differently-classed twin does
+    not advance the index."""
+    html = (
+        "<html><body><div>"
+        "<a class='odd' href='/1'>1</a>"
+        "<a class='even' href='/2'>2</a>"
+        "<a class='odd' href='/3'>3</a>"
+        "</div></body></html>"
+    )
+    anchors = dom.anchor_tags(dom.parse_html(html))
+    assert [dom.sibling_position(a) for a in anchors] == [0, 0, 1]
+
+
 # ---- parser robustness ---------------------------------------------------
 
 
