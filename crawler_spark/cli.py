@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--harvest-budget", type=int, default=300,
                    help="stop once this many leaf pages harvested "
                         "(reference --num-leaves)")
+    e.add_argument("--no-refine", action="store_true",
+                   help="ignore the model's learned :avoid refinements")
+    e.add_argument("--depth-indexed", action="store_true",
+                   help="treat the top-ranked xpaths as an ORDERED action "
+                        "sequence indexed by plan depth (reference "
+                        "xpath-to-pick) instead of a flat set")
     e.add_argument("--master", default=None)
     return p
 
@@ -168,9 +174,28 @@ def cmd_learn_model(args) -> int:
         .agg(F.count("*").alias("freq"))
         .orderBy(F.desc("freq"))
     )
+    # refinement learning (dom.clj:942-1061, model.clj:30-175): label
+    # every crawled link muscle (target page is a leaf) vs fat (target
+    # fetched, not a leaf); targets never fetched are unknown and
+    # excluded. refine_xpaths then finds per-xpath URL path tokens that
+    # appear ONLY in fat links (:avoid) / only in muscle links (:only).
+    from crawler_spark.operators.xpath_model import refine_xpaths
+
+    tgt = corpus.select(
+        F.col("url").alias("href"), F.col("is_leaf").alias("good")
+    ).join(order.select(F.col("url").alias("href")), "href", "left_semi")
+    labeled = (
+        fetched.select(F.explode("out_links").alias("l"))
+        .select(F.col("l.xpath").alias("xpath"), F.col("l.href").alias("href"))
+        .join(tgt, "href")
+    )
+    refinements = [
+        r.asDict() for r in refine_xpaths(labeled).orderBy("xpath").collect()
+    ]
     model = {
         "leaf_xpath_freqs": [r.asDict() for r in leaf_links.collect()],
         "pagination_xpaths": [r.asDict() for r in paging_xpaths.collect()],
+        "refinements": refinements,
     }
     with open(args.out, "w") as f:
         json.dump(model, f, indent=2)
@@ -205,6 +230,15 @@ def cmd_execute_model(args) -> int:
         r["src_xpath"] for r in model.get("pagination_xpaths", [])
         if r.get("src_xpath")
     )
+    # learned :avoid refinements ride the model JSON; only non-empty
+    # avoid lists matter at execution time
+    refine_avoid = ()
+    if not args.no_refine:
+        refine_avoid = tuple(
+            (r["xpath"], tuple(r["avoid"]))
+            for r in model.get("refinements", [])
+            if r.get("avoid")
+        )
     if args.corpus:
         corpus = spark.read.parquet(args.corpus)
     else:
@@ -224,8 +258,10 @@ def cmd_execute_model(args) -> int:
         epoch_ms=args.epoch_ms,
         leaf_limit=args.harvest_budget,
         checkpoint_dir=args.checkpoint,
-        model_xpaths=actions,
+        model_xpaths=None if args.depth_indexed else actions,
+        model_action_seq=actions if args.depth_indexed else None,
         paging_xpaths=paging,
+        refine_avoid=refine_avoid,
     )
     eng = CrawlEngine(spark, corpus, robots, cfg)
     seeds = [r.url for r in read_seed_list(spark, args.seeds).orderBy("ord").collect()]
@@ -238,7 +274,9 @@ def cmd_execute_model(args) -> int:
     print(json.dumps({
         "manifest": manifest,
         "actions": list(actions),
+        "depth_indexed": bool(args.depth_indexed),
         "paging_xpaths": list(paging),
+        "refine_avoid": [[xp, list(av)] for xp, av in refine_avoid],
         "harvested_leaves": harvested,
         "metrics": [r.asDict() for r in eng.metrics.collect()],
     }, default=str))

@@ -119,6 +119,19 @@ class EngineConfig:
     # reference's harvest budget (--num-leaves).
     model_xpaths: tuple | None = None
     paging_xpaths: tuple = ()
+    # depth-indexed action sequence (reference xpath-to-pick,
+    # crawl.clj:200-202): a page at plan depth d follows ONLY links whose
+    # xpath equals model_action_seq[d]; pages past the last step follow
+    # nothing (they are the plan's leaves). Paging hops keep the parent
+    # depth (crawl.clj:525-528). Mutually exclusive with model_xpaths —
+    # the flat set applies every step uniformly.
+    model_action_seq: tuple | None = None
+    # learned refinement (:avoid, dom.clj:942-1061, model.clj:30-175,
+    # applied in the E3 loop crawl.clj:458-530): per-xpath URL path
+    # tokens that only ever led to fat (non-leaf) pages — candidates
+    # whose href contains an avoided token for their xpath are dropped
+    # BEFORE the seen check. Shape: ((xpath, (tok, ...)), ...).
+    refine_avoid: tuple = ()
     # log compaction threshold: when an append table's delta chain
     # exceeds this many commit dirs, the commit also writes a compacted
     # base (O(total), amortized over the chain) and prunes the chain
@@ -595,6 +608,7 @@ class CrawlEngine:
             F.lit(0).alias("epoch_added"),
             "insertion_seq",
             F.lit("content").alias("queue"),
+            F.lit(0).alias("depth"),
         )
         n_seeds = frontier.count()
         url_seen = frontier.select(
@@ -827,8 +841,9 @@ class CrawlEngine:
         # their canonical page. alias_map streams; the batch broadcasts.
         # fetch: broadcast the quota-bounded batch into the corpus scan —
         # the corpus (10^10-row side) never shuffles
-        sel_urls = selected.select("seq", "url")
-        fetch_cols = ["seq", "requested_url", "url", "host", "out_links", "is_leaf"]
+        sel_urls = selected.select("seq", "url", "depth")
+        fetch_cols = ["seq", "requested_url", "url", "host", "out_links",
+                      "is_leaf", "depth"]
         if cfg.track_content_dups:
             fetch_cols.append("caption")
         if self._alias_map is not None:
@@ -847,12 +862,14 @@ class CrawlEngine:
                 F.col("url").alias("requested_url"),
                 F.col("url").alias("__join_url"),
                 F.lit(0).alias("__prio"),
+                "depth",
             ).unionByName(
                 sel_urls.join(F.broadcast(am), "seq").select(
                     "seq",
                     F.col("url").alias("requested_url"),
                     F.col("final_url").alias("__join_url"),
                     F.lit(1).alias("__prio"),
+                    "depth",
                 )
             )
             w_prio = Window.partitionBy("seq").orderBy("__prio")
@@ -868,7 +885,7 @@ class CrawlEngine:
             )
         else:
             resolved = sel_urls.select(
-                "seq", F.col("url").alias("requested_url"), "url"
+                "seq", F.col("url").alias("requested_url"), "url", "depth"
             )
             fetched = self.corpus.join(F.broadcast(resolved), "url", "inner").select(
                 *fetch_cols
@@ -938,18 +955,48 @@ class CrawlEngine:
             self._append_state("content_seen", fresh_hashes)
 
         cand_all = extract_candidates(extract_input, dedup=False)
-        if cfg.model_xpaths is not None:
+        if cfg.model_xpaths is not None or cfg.model_action_seq is not None:
             # harvest mode: the learned model decides which links exist.
             # src_text is nullable — NULL rlike would make BOTH branches
             # NULL and silently drop a model-matched link the oracle
             # keeps (it matches on `text or ''`), so anchor on ''
             is_digit = F.coalesce(F.col("src_text"), F.lit("")).rlike("^[0-9]+$")
-            keep_paging = is_digit & F.col("src_xpath").isin(list(cfg.paging_xpaths))
-            keep_content = ~keep_paging & F.col("src_xpath").isin(
-                list(cfg.model_xpaths)
+            keep_paging = (
+                is_digit & F.col("src_xpath").isin(list(cfg.paging_xpaths))
+                if cfg.paging_xpaths
+                else F.lit(False)
             )
+            if cfg.model_action_seq is not None:
+                # depth-indexed plan (xpath-to-pick, crawl.clj:200-202):
+                # the page's depth selects THE one content action; pages
+                # past the plan's last step expand nothing. try_element_at
+                # is 1-based and returns NULL past the end (ANSI-safe) —
+                # the equality then evaluates NULL → filtered.
+                action = F.try_element_at(
+                    F.array(*[F.lit(x) for x in cfg.model_action_seq]),
+                    F.col("src_depth") + 1,
+                )
+                keep_content = ~keep_paging & (F.col("src_xpath") == action)
+            else:
+                keep_content = ~keep_paging & F.col("src_xpath").isin(
+                    list(cfg.model_xpaths)
+                )
             cand_all = cand_all.filter(keep_paging | keep_content).withColumn(
                 "queue", F.when(keep_paging, F.lit("paging")).otherwise(F.lit("content"))
+            )
+        if cfg.refine_avoid:
+            # learned :avoid refinement — dropped BEFORE the seen check
+            # and before the candidate count observation (not dups;
+            # outside the refined plan), mirroring the reference's
+            # eval-anchor-xpath-refined extraction-time filter
+            from .operators.xpath_model import apply_refinement
+
+            ref = spark.createDataFrame(
+                [(xp, list(av)) for xp, av in cfg.refine_avoid],
+                "xpath string, avoid array<string>",
+            )
+            cand_all = apply_refinement(
+                cand_all, ref, xpath_col="src_xpath", href_col="url"
             )
         cand_all = cand_all.withColumn("url_hash", F.xxhash64("url")).withColumn(
             "partition_id", bucket_expr(F.col("url_hash"), cfg.n_seen_buckets)
@@ -1036,6 +1083,12 @@ class CrawlEngine:
             F.lit(epoch + 1).alias("epoch_added"),
             "insertion_seq",
             "queue",
+            # content hops advance plan depth; paging hops keep the
+            # parent's (crawl.clj:525-528)
+            F.when(F.col("queue") == "paging", F.col("src_depth"))
+            .otherwise(F.col("src_depth") + 1)
+            .cast("int")
+            .alias("depth"),
         )
         new_seen = survivors.select("partition_id", "url_hash", "url")
         if closure is not None:

@@ -51,10 +51,14 @@ def extract_candidates(fetched: DataFrame, dedup: bool = True) -> DataFrame:
     processing would keep. ``dedup=False`` keeps every occurrence (the
     oracle's dup-counting semantics need the multiplicity).
     """
+    passthrough = (
+        [F.col("depth").alias("src_depth")] if "depth" in fetched.columns else []
+    )
     links = fetched.select(
         F.col("seq").alias("src_seq"),
         F.col("url").alias("src_url"),
         F.col("host").alias("src_host"),
+        *passthrough,
         F.posexplode("out_links").alias("pos", "link"),
     )
     links = links.filter(~F.col("link.nofollow"))
@@ -79,6 +83,7 @@ def extract_candidates(fetched: DataFrame, dedup: bool = True) -> DataFrame:
         "src_seq",
         "pos",
         "src_url",
+        *(["src_depth"] if passthrough else []),
         F.col("link.text").alias("src_text"),
         F.col("link.xpath").alias("src_xpath"),
         F.col("link_host").alias("host"),

@@ -274,12 +274,21 @@ def refine_xpaths(labeled_links: DataFrame) -> DataFrame:
     )
 
 
-def apply_refinement(links: DataFrame, refinement: DataFrame) -> DataFrame:
+def apply_refinement(
+    links: DataFrame,
+    refinement: DataFrame,
+    xpath_col: str = "xpath",
+    href_col: str = "href",
+) -> DataFrame:
     """Apply a learned :avoid refinement: drop links whose href contains
-    an avoided token for their xpath (dom.clj:520-643 eval-refined)."""
-    r = refinement.select("xpath", "avoid")
-    joined = links.join(F.broadcast(r), "xpath", "left")
-    path_toks = F.split(F.regexp_replace("href", "^[a-zA-Z]+://[^/]*/", ""), "/")
+    an avoided token for their xpath (dom.clj:520-643 eval-refined).
+    Column names are parameterized so the engine's candidate stream
+    (src_xpath/url) reuses the same operator."""
+    r = refinement.select(F.col("xpath").alias(xpath_col), "avoid")
+    joined = links.join(F.broadcast(r), xpath_col, "left")
+    path_toks = F.split(
+        F.regexp_replace(href_col, "^[a-zA-Z]+://[^/]*/", ""), "/"
+    )
     hit = F.exists(
         F.coalesce(F.col("avoid"), F.array()),
         lambda a: F.array_contains(path_toks, a),

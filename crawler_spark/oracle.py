@@ -64,6 +64,8 @@ def crawl_oracle(
     content_dup_stop: int | None = None,
     model_xpaths: set | None = None,
     paging_xpaths: set = frozenset(),
+    model_action_seq: list | None = None,
+    refine_avoid: dict | None = None,
     recrawl_ttl_epochs: int | None = None,
 ) -> OracleResult:
     import re
@@ -100,7 +102,8 @@ def crawl_oracle(
             continue
         res.url_seen.add(cu)
         frontier.append(
-            {"url": cu, "host": host_of(cu), "insertion_seq": next_seq, "queue": "content"}
+            {"url": cu, "host": host_of(cu), "insertion_seq": next_seq,
+             "queue": "content", "depth": 0}
         )
         next_seq += 1
 
@@ -212,7 +215,19 @@ def crawl_oracle(
                 if host_of(cu) != page["host"]:  # same-host predicate
                     continue
                 is_digit = bool(re.match("^[0-9]+$", link["text"] or ""))
-                if model_xpaths is not None:
+                if model_action_seq is not None:
+                    # depth-indexed plan (xpath-to-pick, crawl.clj:200-202):
+                    # the page's depth selects the one content action;
+                    # past the last step nothing expands
+                    is_paging = is_digit and link["xpath"] in paging_xpaths
+                    d = entry.get("depth", 0)
+                    action = (
+                        model_action_seq[d] if d < len(model_action_seq) else None
+                    )
+                    if not is_paging and link["xpath"] != action:
+                        continue
+                    queue = "paging" if is_paging else "content"
+                elif model_xpaths is not None:
                     # E3 harvest: model-inapplicable links are dropped
                     # after same-host, before the seen check (not dups —
                     # outside the plan)
@@ -222,13 +237,23 @@ def crawl_oracle(
                     queue = "paging" if is_paging else "content"
                 else:
                     queue = "paging" if is_digit else "content"
+                if refine_avoid:
+                    # learned :avoid refinement — dropped before the seen
+                    # check (engine apply_refinement mirror: URL path
+                    # tokens after scheme://host/)
+                    av = refine_avoid.get(link["xpath"], ())
+                    toks = re.sub(r"^[a-zA-Z]+://[^/]*/", "", cu).split("/")
+                    if any(t in av for t in toks if t):
+                        continue
                 if cu in res.url_seen:
                     dups_ct += 1
                     continue
                 res.url_seen.add(cu)
                 new_entries.append(
                     {"url": cu, "host": host_of(cu), "insertion_seq": next_seq,
-                     "queue": queue, "src_xpath": link["xpath"]}
+                     "queue": queue, "src_xpath": link["xpath"],
+                     "depth": entry.get("depth", 0)
+                     + (0 if queue == "paging" else 1)}
                 )
                 next_seq += 1
                 enq_ct += 1

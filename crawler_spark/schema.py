@@ -58,6 +58,11 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("epoch_added", T.IntegerType(), False),
         T.StructField("insertion_seq", T.LongType(), False),
         T.StructField("queue", T.StringType(), False),  # "content" | "paging"
+        # plan depth = number of content hops from the seed (reference
+        # src-path length, crawl.clj:200-202 xpath-to-pick indexes the
+        # action sequence BY this). Paging hops do not advance depth
+        # (crawl.clj:525-528 keeps the parent's src-xpath on paging rows).
+        T.StructField("depth", T.IntegerType(), False),
     ]
 )
 

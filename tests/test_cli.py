@@ -147,3 +147,98 @@ def test_execute_model_parity(spark, tmp_path):
                                 epoch_ms=8000)
     assert len(oracle.url_seen) < len(unrestricted.url_seen)
     corpus.unpersist()
+
+
+def test_execute_model_refinement_parity(spark, tmp_path):
+    """Learned :avoid refinement (dom.clj:942-1061 applied in the E3
+    loop crawl.clj:458-530): candidates whose href path contains an
+    avoided token for their xpath are dropped before the seen check —
+    engine and sequential oracle must agree exactly, and the avoid set
+    must be non-vacuous (it changes the crawl)."""
+    from crawler_spark.engine import CrawlEngine, EngineConfig
+    from crawler_spark.oracle import crawl_oracle
+    from crawler_spark.schema import ROBOTS_SCHEMA
+    from crawler_spark.synth import (
+        XPATHS, SynthConfig, corpus_df, robots_rows, seed_urls,
+    )
+
+    cfg = SynthConfig(n_pages=400, n_hosts=8, with_images=False)
+    corpus = corpus_df(spark, cfg).persist()
+    corpus.count()
+    robots = spark.createDataFrame(robots_rows(cfg), ROBOTS_SCHEMA)
+    seeds = seed_urls(cfg, 4)
+    actions, paging = tuple(XPATHS[:3]), tuple(XPATHS[3:5])
+    # avoid path-bucket tokens for two of the model's xpaths
+    avoid = ((XPATHS[0], ("3", "5")), (XPATHS[1], ("2",)))
+    eng = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=4, epoch_ms=8000, leaf_limit=60,
+                     checkpoint_dir=str(tmp_path / "ck_ref"),
+                     model_xpaths=actions, paging_xpaths=paging,
+                     refine_avoid=avoid),
+    )
+    eng.run(seeds)
+    oracle = crawl_oracle(
+        cfg, seeds, robots_rows(cfg), max_epochs=4, epoch_ms=8000,
+        leaf_limit=60, model_xpaths=set(actions), paging_xpaths=set(paging),
+        refine_avoid={xp: set(av) for xp, av in avoid},
+    )
+    got = [(r.seq, r.url, r.epoch) for r in eng.crawl_order.collect()]
+    want = [(s, u, e) for (s, u, e, _h) in oracle.crawl_order]
+    assert len(got) > 10, "refined harvest should still expand"
+    assert got == want
+    assert {r.url for r in eng.url_seen.collect()} == oracle.url_seen
+    # non-vacuous: the refinement must actually drop links
+    unrefined = crawl_oracle(
+        cfg, seeds, robots_rows(cfg), max_epochs=4, epoch_ms=8000,
+        leaf_limit=60, model_xpaths=set(actions), paging_xpaths=set(paging),
+    )
+    assert oracle.url_seen != unrefined.url_seen, "avoid set never fired"
+    corpus.unpersist()
+
+
+def test_depth_indexed_action_sequence_parity(spark, tmp_path):
+    """Depth-indexed plans (reference xpath-to-pick, crawl.clj:200-202):
+    a page at plan depth d follows ONLY model_action_seq[d]; pages past
+    the last step expand nothing; paging hops keep the parent depth.
+    Engine must match the oracle exactly, and the semantics must DIVERGE
+    from the flat set of the same xpaths (otherwise this mode is
+    indistinguishable from model_xpaths)."""
+    from crawler_spark.engine import CrawlEngine, EngineConfig
+    from crawler_spark.oracle import crawl_oracle
+    from crawler_spark.schema import ROBOTS_SCHEMA
+    from crawler_spark.synth import (
+        XPATHS, SynthConfig, corpus_df, robots_rows, seed_urls,
+    )
+
+    cfg = SynthConfig(n_pages=400, n_hosts=8, with_images=False)
+    corpus = corpus_df(spark, cfg).persist()
+    corpus.count()
+    robots = spark.createDataFrame(robots_rows(cfg), ROBOTS_SCHEMA)
+    seeds = seed_urls(cfg, 4)
+    seq = (XPATHS[0], XPATHS[2], XPATHS[1])
+    paging = tuple(XPATHS[3:5])
+    eng = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=5, epoch_ms=8000,
+                     checkpoint_dir=str(tmp_path / "ck_depth"),
+                     model_action_seq=seq, paging_xpaths=paging),
+    )
+    eng.run(seeds)
+    oracle = crawl_oracle(
+        cfg, seeds, robots_rows(cfg), max_epochs=5, epoch_ms=8000,
+        model_action_seq=list(seq), paging_xpaths=set(paging),
+    )
+    got = [(r.seq, r.url, r.epoch) for r in eng.crawl_order.collect()]
+    want = [(s, u, e) for (s, u, e, _h) in oracle.crawl_order]
+    assert len(got) > 8, "depth-indexed harvest should expand"
+    assert got == want
+    assert {r.url for r in eng.url_seen.collect()} == oracle.url_seen
+    # flat-set vs depth-indexed must diverge on this web
+    flat = crawl_oracle(
+        cfg, seeds, robots_rows(cfg), max_epochs=5, epoch_ms=8000,
+        model_xpaths=set(seq), paging_xpaths=set(paging),
+    )
+    assert oracle.url_seen != flat.url_seen, (
+        "depth-indexed and flat semantics coincide — test web too simple"
+    )
