@@ -82,41 +82,74 @@ _THROTTLE_STATE = T.StructType(
 )
 
 
-def _throttle_fn(quota: int, timeout_ms: int):
+def _throttle_fn(quota: int, timeout_ms: int | None, order_col: str | None = None):
     def fn(key, pdf_iter, state: GroupState):
         (host,) = key
         backlog = list(state.get[0]) if state.exists else []
         if not state.hasTimedOut:
+            fresh = []
             for pdf in pdf_iter:
-                backlog.extend(pdf["url"].tolist())
+                if order_col is None:
+                    fresh.extend((None, u) for u in pdf["url"].tolist())
+                else:
+                    fresh.extend(
+                        zip(pdf[order_col].tolist(), pdf["url"].tolist())
+                    )
+            if order_col is not None:
+                # deterministic FIFO within the batch: grouped iterator
+                # chunk order is not guaranteed, the order column is
+                fresh.sort(key=lambda t: t[0])
+            backlog.extend(u for _, u in fresh)
         release, backlog = backlog[:quota], backlog[quota:]
         state.update((backlog,))
-        if backlog:
+        if backlog and timeout_ms is not None:
             # re-arm: a host whose input goes quiet must still get
             # invoked next interval to drain what it parked — with
             # NoTimeout the state function only runs on NEW input for
-            # the host, so a one-burst backlog would starve forever
+            # the host, so a one-burst backlog would starve forever.
+            # timeout_ms=None disables the re-arm (single-drain mode —
+            # an AvailableNow trigger would otherwise spin timeout
+            # batches until every backlog empties)
             state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
-            {"host": host, "url": release, "released_in_batch": len(release)}
+            {
+                "host": [host] * len(release),
+                "url": release,
+                "released_in_batch": [len(release)] * len(release),
+            }
         )
 
     return fn
 
 
 def stream_politeness_throttle(
-    urls: DataFrame, quota_per_trigger: int = 5, drain_interval_ms: int = 1000
+    urls: DataFrame,
+    quota_per_trigger: int = 5,
+    drain_interval_ms: int | None = 1000,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Custom stateful operator: per-host token bucket. Each invocation
     emits ≤ quota URLs per host (FIFO) and keeps the rest in group
     state; a processing-time timeout re-invokes hosts that still hold a
     backlog even when no new URLs arrive for them — the streaming form
     of politeness.dequeue (and the crawl-delay analog: one quota batch
-    per drain interval)."""
+    per drain interval). ``order_col`` fixes the within-batch FIFO order
+    (the grouped-iterator chunk order is not guaranteed) — required for
+    a deterministic, oracle-checkable drain.
+
+    ``drain_interval_ms=None`` is single-drain mode: NoTimeout — merely
+    declaring ProcessingTimeTimeout makes an AvailableNow run keep
+    scheduling no-data batches to service potential timers, so the
+    one-shot drain would spin forever."""
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if drain_interval_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return urls.groupBy("host").applyInPandasWithState(
-        _throttle_fn(quota_per_trigger, drain_interval_ms),
+        _throttle_fn(quota_per_trigger, drain_interval_ms, order_col),
         outputStructType=_THROTTLE_OUT,
         stateStructType=_THROTTLE_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=timeout_conf,
     )
