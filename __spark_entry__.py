@@ -310,6 +310,64 @@ def q_stream_tumbling_hourly(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_politeness_throttle(spark, sf_dir):
+    """§2.10 custom stateful operator DRIVER-ORACLED through a REAL
+    streaming execution: the applyInPandasWithState per-host token
+    bucket drains the events table (one AvailableNow batch, quota 5 per
+    host, FIFO by event_id) — the released set is exactly the first 5
+    urls per host, which DuckDB states as a quota window. The multi-
+    trigger timeout/backlog behavior keeps its pytest gate
+    (tests/test_streaming.py)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from crawler_spark.streaming.frontier_stream import (
+        stream_politeness_throttle,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stage = tempfile.mkdtemp(prefix="stream_throttle_")
+    try:
+        if os.path.isdir(path):
+            for part in os.listdir(path):
+                if part.endswith(".parquet"):
+                    shutil.copy(os.path.join(path, part), stage)
+        else:
+            shutil.copy(path, stage)
+        src = spark.readStream.schema(schema).parquet(stage)
+        urls = src.select(
+            F.concat(
+                F.lit("host"), (F.col("user_id") % N_HOSTS).cast("string")
+            ).alias("host"),
+            F.concat(
+                F.lit("http://host"),
+                (F.col("user_id") % N_HOSTS).cast("string"),
+                F.lit(".test/e/"),
+                F.col("event_id").cast("string"),
+            ).alias("url"),
+            "event_id",
+        )
+        name = "stream_throttle_" + uuid.uuid4().hex[:8]
+        q = (
+            stream_politeness_throttle(
+                urls, quota_per_trigger=5, drain_interval_ms=None,
+                order_col="event_id",
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name)
+
+
 def q_json_props(spark, sf_dir):
     """Semi-structured column handling: parse events.props JSON, bucket
     by its 'k' field (the schemaless-map part of the reference's data
@@ -532,6 +590,71 @@ def q_html_extract(spark, sf_dir):
     )
     pages = d.select("doc_id", html.alias("html"))
     return anchors_from_html(pages, "html", ("doc_id",))
+
+
+def q_html_extract_positioned(spark, sf_dir):
+    """Sibling-position xpath variant (dom.clj:134-199 child-position +
+    tag-id-class-node: first class only, 0-based index among same-tag
+    same-raw-class siblings appended as a predicate) on real markup —
+    distinguishes the class-less anchors the tag/id/class form collapses.
+    Pinned strings: tests/test_dom.py positioned tests."""
+    from crawler_spark.dom import anchors_from_html
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    html = F.concat(
+        F.lit('<html><body><div class="menu-bar'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(' lnk"><a href="/p/'),
+        (F.col("doc_id") * 3).cast("string"),
+        F.lit('" class="item0">t0</a><a href="/p/'),
+        (F.col("doc_id") * 3 + 1).cast("string"),
+        F.lit('" class="item1">t1</a><a href="/skip/'),
+        F.col("doc_id").cast("string"),
+        F.lit('" rel="nofollow">x</a><a href="/x/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">p</a></div></body></html>'),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    return anchors_from_html(pages, "html", ("doc_id",), positioned=True)
+
+
+def q_date_indexed_detect(spark, sf_dir):
+    """Golden-fixture eval DRIVER-ORACLED: the reference's 26 REAL saved
+    forum/board pages (resources/date-indexed-data, results.html
+    publishes 17/20 at threshold 0.7) through the date-indexed record
+    detector (crawler_spark/operators/date_records.py — this detector
+    reaches 19/20 + 1 negative FP). Deterministic: same bytes, same
+    parser, same patterns every run, so the oracle pins the exact
+    per-page verdicts as literal rows. Input is the fixture set itself
+    (sf-independent — real markup is the entire point)."""
+    import glob
+    import os
+
+    from crawler_spark.operators.date_records import detect_date_indexed
+
+    fixdir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "date-indexed",
+    )
+    rows = []
+    for label in ("positive", "negative"):
+        for f in sorted(glob.glob(os.path.join(fixdir, label, "*.html"))):
+            rows.append(
+                (label, os.path.basename(f)[:-5],
+                 open(f, encoding="utf-8", errors="replace").read())
+            )
+    df = spark.createDataFrame(rows, "label string, page string, html string")
+    det = detect_date_indexed(df, "html", ("label", "page"))
+    return det.select(
+        "label", "page",
+        F.substring("best_group", 1, 1).alias("group_kind"),
+        F.regexp_extract(
+            F.substring_index("best_group", "/", -1), r"^([a-z0-9]+)", 1
+        ).alias("record_tag"),
+        "n_records", "n_dated",
+        F.round(F.col("date_ratio") * 10000).cast("long").alias("ratio_fp"),
+        "detected",
+    )
 
 
 def q_url_seen_antijoin(spark, sf_dir):
@@ -816,6 +939,15 @@ HARVEST_PAGING_XP = ("xp0", "xpnav")
 # for j1, ≡ 15 (20) for j2): 6→26→86→266, 15→75→315 (paging chain),
 # 19→39→[79 is javascript], 36→116 (116 robots-disallowed on host 16)
 CRAWL_SEED_DOCS = (6, 15, 19, 36)
+# depth-indexed plan for the documents graph: depth 0 follows xp2
+# (keeps 19→39, drops the xp1 links the flat model would keep), depth 1
+# follows xp1; the digit-override paging chain (xpath xp0) rides the
+# paging queue at its parent's depth
+DEPTH_ACTION_SEQ = ("xp2", "xp1")
+# :avoid refinement for the refined-harvest twin: xpath xp2 links whose
+# href path contains token '39' are outside the refined plan — kills the
+# 19→39 content hop while the paging chain survives
+REFINE_AVOID = (("xp2", ("39",)),)
 # digit-anchor override: links (doc ≡ 15 mod 60, j=2) get digit text so
 # the paging queue is non-vacuous on same-host links (the base text
 # rule (doc+j)%6==0 never coincides with the same-host residues)
@@ -949,6 +1081,58 @@ def q_crawl_harvest(spark, sf_dir):
         F.col("seq").cast("long").alias("seq"),
         "url",
         F.col("epoch").cast("long").alias("epoch"),
+    )
+
+
+def _harvest_engine(spark, sf_dir, **extra):
+    import os
+    import tempfile
+
+    from crawler_spark.engine import CrawlEngine, EngineConfig
+
+    eng = CrawlEngine(
+        spark, _doc_corpus(spark, sf_dir), _doc_robots(spark),
+        EngineConfig(
+            max_epochs=N_CRAWL_EPOCHS, epoch_ms=CRAWL_EPOCH_MS,
+            checkpoint_dir=tempfile.mkdtemp(
+                dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+            ),
+            commit_every=4, detailed_metrics=False, **extra,
+        ),
+    )
+    eng.run(_crawl_seeds())
+    return eng.crawl_order.select(
+        F.col("seq").cast("long").alias("seq"),
+        "url",
+        F.col("epoch").cast("long").alias("epoch"),
+    )
+
+
+def q_crawl_harvest_refined(spark, sf_dir):
+    """E3 harvest + learned :avoid refinement (dom.clj:942-1061 applied
+    in the loop, crawl.clj:458-530), DRIVER-ORACLED: same 3-epoch chain
+    as crawl_harvest, but candidates whose href path contains an avoided
+    token for their xpath are dropped before the seen check — the SQL
+    twin restates the token rule inline. The avoid set kills the 19→39
+    content hop (non-vacuous vs crawl_harvest). Exact parity gate:
+    tests/test_cli.py::test_execute_model_refinement_parity."""
+    return _harvest_engine(
+        spark, sf_dir,
+        model_xpaths=HARVEST_MODEL_XP, paging_xpaths=HARVEST_PAGING_XP,
+        refine_avoid=REFINE_AVOID,
+    )
+
+
+def q_crawl_depth_indexed(spark, sf_dir):
+    """Depth-indexed action sequences (reference xpath-to-pick,
+    crawl.clj:200-202), DRIVER-ORACLED: a page at plan depth d follows
+    ONLY model_action_seq[d]; paging hops keep the parent depth; pages
+    past the last step expand nothing. The SQL twin carries depth on the
+    chained frontier and picks the action by CASE depth. Exact parity
+    gate: tests/test_cli.py::test_depth_indexed_action_sequence_parity."""
+    return _harvest_engine(
+        spark, sf_dir,
+        model_action_seq=DEPTH_ACTION_SEQ, paging_xpaths=HARVEST_PAGING_XP,
     )
 
 
@@ -1234,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_event_per_user": q_first_event_per_user,
         "tumbling_hourly": q_tumbling_hourly,
         "stream_tumbling_hourly": q_stream_tumbling_hourly,
+        "stream_politeness_throttle": q_stream_politeness_throttle,
         "sessionize": q_sessionize,
         "json_props": q_json_props,
         # text analysis
@@ -1258,6 +1443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # crawl graph (SURVEY §2.2, §2.12)
         "link_extract": q_link_extract,
         "html_extract": q_html_extract,
+        "html_extract_positioned": q_html_extract_positioned,
+        "date_indexed_detect": q_date_indexed_detect,
         "crawl_epoch_oracle": q_crawl_epoch_oracle,
         "harvest_step_oracle": q_harvest_step_oracle,
         "ttl_expiry_oracle": q_ttl_expiry_oracle,
@@ -1284,26 +1471,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine / multimodal (rows-only)
         "crawl_epoch": q_crawl_epoch,
         "crawl_harvest": q_crawl_harvest,
+        "crawl_harvest_refined": q_crawl_harvest_refined,
+        "crawl_depth_indexed": q_crawl_depth_indexed,
         "image_decode_stats": q_image_decode_stats,
         "image_neardup": q_image_neardup,
     }
 
 
-def _crawl_chain_sql(harvest: bool) -> str:
+def _crawl_chain_sql(mode: str) -> str:
     """Chained multi-epoch DuckDB restatement of the engine crawl loop
     (sequential-oracle semantics, crawler_spark/oracle.py; reference
     crawl.clj:46-198): per epoch — robots drop, dual-queue per-host
     quota window (content FIFO; paging deepest-src_xpath-first, only on
     hosts with no pending content), link extraction from the fetched
     pages, within-epoch first-wins, seen anti-join, insertion-sequence
-    continuation, frontier merge-back. Epochs unroll as CTE blocks;
-    harvest=True adds the execute-model link classification."""
+    continuation, frontier merge-back. Epochs unroll as CTE blocks.
+
+    Modes: 'plain' (digit→paging, everything else content), 'harvest'
+    (execute-model flat classification), 'harvest_refined' (harvest +
+    the :avoid refinement over href path tokens, dom.clj:942-1061), and
+    'depth' (xpath-to-pick, crawl.clj:200-202 — the frontier carries
+    plan depth; a page follows only action_seq[depth]; paging hops keep
+    the parent depth)."""
     K, epochs, ems = N_CRAWL_DOCS, N_CRAWL_EPOCHS, CRAWL_EPOCH_MS
     is_digit = (
         "(regexp_full_match(coalesce(l.text, ''), '[0-9]+') "
         f"OR {_DIGIT_OVERRIDE})"
     )
-    if harvest:
+    depth_mode = mode == "depth"
+    cand_filter = ""
+    if mode in ("harvest", "harvest_refined"):
         pg = ", ".join(f"'{x}'" for x in HARVEST_PAGING_XP)
         md = ", ".join(f"'{x}'" for x in HARVEST_MODEL_XP)
         keep_paging = f"({is_digit} AND l.xpath IN ({pg}))"
@@ -1313,9 +1510,31 @@ def _crawl_chain_sql(harvest: bool) -> str:
         queue_case = (
             f"CASE WHEN {keep_paging} THEN 'paging' ELSE 'content' END"
         )
+    elif depth_mode:
+        pg = ", ".join(f"'{x}'" for x in HARVEST_PAGING_XP)
+        keep_paging = f"({is_digit} AND l.xpath IN ({pg}))"
+        action = "CASE s.depth " + " ".join(
+            f"WHEN {d} THEN '{xp}'" for d, xp in enumerate(DEPTH_ACTION_SEQ)
+        ) + " END"
+        cand_filter = (
+            f"AND ({keep_paging} OR (NOT {keep_paging} AND l.xpath = {action}))"
+        )
+        queue_case = (
+            f"CASE WHEN {keep_paging} THEN 'paging' ELSE 'content' END"
+        )
     else:
-        cand_filter = ""
         queue_case = f"CASE WHEN {is_digit} THEN 'paging' ELSE 'content' END"
+    if mode == "harvest_refined":
+        # engine apply_refinement mirror: href path tokens after
+        # scheme://host/ are ['p', tgt]; a hit for the link's xpath
+        # drops it before the seen check
+        hits = " OR ".join(
+            f"(l.xpath = '{xp}' AND list_contains(['p', "
+            f"CAST(l.tgt AS VARCHAR)], '{tok}'))"
+            for xp, toks in REFINE_AVOID
+            for tok in toks
+        )
+        cand_filter += f" AND NOT ({hits})"
 
     parts = [
         f"WITH {_LINKS_CTE.strip().lstrip('WITH').strip()},",
@@ -1325,7 +1544,8 @@ seeds AS (
          'http://host' || CAST(d.doc_id % {N_HOSTS} AS VARCHAR)
            || '.test/p/' || CAST(d.doc_id AS VARCHAR) AS url,
          row_number() OVER (ORDER BY d.doc_id) - 1 AS insertion_seq,
-         'content' AS queue, CAST(NULL AS VARCHAR) AS src_xpath
+         'content' AS queue, CAST(NULL AS VARCHAR) AS src_xpath,
+         0 AS depth
   FROM documents d
   WHERE d.doc_id IN ({", ".join(str(x) for x in CRAWL_SEED_DOCS)})),
 frontier0 AS (SELECT * FROM seeds),
@@ -1364,7 +1584,9 @@ ord{k} AS (
 cand{k} AS (
   SELECT l.tgt AS doc_id, l.tgt_host AS host, l.j,
          s.insertion_seq AS src_seq, l.xpath AS src_xpath, l.href AS url,
-         {queue_case} AS queue
+         {queue_case} AS queue,
+         CASE WHEN {queue_case} = 'paging' THEN s.depth
+              ELSE s.depth + 1 END AS depth
   FROM links2 l JOIN sel{k} s ON s.doc_id = l.doc_id
   WHERE l.doc_id < {K} AND NOT l.is_js AND NOT l.nofollow
     AND l.tgt_host = l.src_host {cand_filter}),
@@ -1375,16 +1597,18 @@ firstw{k} AS (
     FROM cand{k} c)
   WHERE rn = 1),
 new{k} AS (
-  SELECT doc_id, host, url, queue, src_xpath,
+  SELECT doc_id, host, url, queue, src_xpath, depth,
          {next_base} + row_number() OVER (ORDER BY src_seq, j) - 1
            AS insertion_seq
   FROM firstw{k} f
   WHERE NOT EXISTS (SELECT 1 FROM seen{k} sn WHERE sn.url = f.url)),
 frontier{k + 1} AS (
-  SELECT doc_id, host, url, insertion_seq, queue, src_xpath FROM allowed{k}
+  SELECT doc_id, host, url, insertion_seq, queue, src_xpath, depth
+  FROM allowed{k}
   WHERE insertion_seq NOT IN (SELECT insertion_seq FROM sel{k})
   UNION ALL
-  SELECT doc_id, host, url, insertion_seq, queue, src_xpath FROM new{k}),
+  SELECT doc_id, host, url, insertion_seq, queue, src_xpath, depth
+  FROM new{k}),
 seen{k + 1} AS (SELECT url FROM seen{k} UNION ALL SELECT url FROM new{k}),""")
     union = " UNION ALL ".join(f"SELECT * FROM ord{i}" for i in range(epochs))
     parts.append(f"""
@@ -1477,6 +1701,24 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n,
                CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_fp
         FROM events GROUP BY 1, 2
+    """
+    # stream_politeness_throttle: one AvailableNow drain of the per-host
+    # token bucket = the first quota urls per host in event_id order,
+    # with released_in_batch = how many the host released in that batch
+    sqls["stream_politeness_throttle"] = f"""
+        WITH u AS (
+            SELECT 'host' || CAST(user_id % {N_HOSTS} AS VARCHAR) AS host,
+                   'http://host' || CAST(user_id % {N_HOSTS} AS VARCHAR)
+                     || '.test/e/' || CAST(event_id AS VARCHAR) AS url,
+                   event_id
+            FROM events),
+        ranked AS (
+            SELECT host, url,
+                   row_number() OVER (PARTITION BY host ORDER BY event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY host) AS n
+            FROM u)
+        SELECT host, url, CAST(LEAST(5, n) AS INTEGER) AS released_in_batch
+        FROM ranked WHERE rn <= 5
     """
     sqls["json_props"] = """
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
@@ -1960,6 +2202,77 @@ def oracle_sql() -> dict[str, str]:
             FROM d)
         SELECT * FROM items UNION ALL SELECT * FROM skips
     """
+    # html_extract_positioned: the sibling-position xpath form — first
+    # class only, 0-based same-tag-same-raw-class sibling index appended;
+    # class-less anchors (skip, /x/) index against each other (0, 1).
+    pos_div = "//html[0]/body[0]/div[contains(@class,''menu-bar'')][0]"
+    sqls["html_extract_positioned"] = f"""
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+        items AS (
+            SELECT d.doc_id, CAST(g.i AS INTEGER) AS pos,
+                   '/p/' || CAST(d.doc_id * 3 + g.i AS VARCHAR) AS href,
+                   't' || CAST(g.i AS VARCHAR) AS text,
+                   '{pos_div}/a[contains(@class,''item'')][0]' AS xpath,
+                   false AS nofollow
+            FROM d JOIN generate_series(0, 1) g(i) ON true),
+        skips AS (
+            SELECT doc_id, CAST(2 AS INTEGER) AS pos,
+                   '/skip/' || CAST(doc_id AS VARCHAR) AS href, 'x' AS text,
+                   '{pos_div}/a[0]' AS xpath, true AS nofollow
+            FROM d),
+        bares AS (
+            SELECT doc_id, CAST(3 AS INTEGER) AS pos,
+                   '/x/' || CAST(doc_id AS VARCHAR) AS href, 'p' AS text,
+                   '{pos_div}/a[1]' AS xpath, false AS nofollow
+            FROM d)
+        SELECT * FROM items UNION ALL SELECT * FROM skips
+        UNION ALL SELECT * FROM bares
+    """
+    # date_indexed_detect: the detector is a pure function of the 26
+    # fixture pages' bytes, so the oracle pins the exact verdicts —
+    # measured once, locked forever (a parser or date-pattern regression
+    # flips the hash). 19/20 positives (published reference rate: 17/20)
+    # + the one urbandictionary negative FP.
+    _DET_ROWS = [
+        # (label, page, kind, tag, n_records, n_dated, ratio_fp, det)
+        ("positive", "4chan_vg", "P", "div", 191, 177, 9267, True),
+        ("positive", "apple_imovie_subforum", "P", "tr", 25, 25, 10000, True),
+        ("positive", "ars_technica", "P", "tr", 41, 40, 9756, True),
+        ("positive", "davita_activity", "P", "li", 31, 30, 9677, True),
+        ("positive", "davita_dialysis_subforum", "P", "li", 20, 20, 10000, True),
+        ("positive", "davita_index", "P", "li", 12, 12, 10000, True),
+        ("positive", "fmylife_index", "P", "div", 17, 14, 8235, True),
+        ("positive", "gaia_index", "P", "tr", 40, 40, 10000, True),
+        ("positive", "gaia_mini_shops_index", "P", "tr", 40, 40, 10000, True),
+        ("positive", "gist_discover", "P", "div", 11, 10, 9091, True),
+        ("positive", "hn_front", "N", "td", 30, 30, 10000, True),
+        ("positive", "invisionpower_subforum", "P", "tr", 31, 30, 9677, True),
+        ("positive", "kineyspace_index", "P", "tr", 22, 20, 9091, True),
+        ("positive", "phpbb_general", "P", "li", 25, 25, 10000, True),
+        ("positive", "phpbb_support_index", "P", "li", 50, 50, 10000, True),
+        ("positive", "questions", "P", "div", 15, 15, 10000, True),
+        ("positive", "reddit_index", "P", "div", 25, 25, 10000, True),
+        ("positive", "stackoverflow_landing", "P", "div", 89, 89, 10000, True),
+        ("positive", "topix_carrizo_springs_tx_index", "P", "tr", 102, 81, 7941, True),
+        ("positive", "topix_west_helena_ar", None, None, 0, 0, 0, False),
+        ("negative", "4chan", None, None, 0, 0, 0, False),
+        ("negative", "amazon_affiliates", None, None, 0, 0, 0, False),
+        ("negative", "amazon_home", None, None, 0, 0, 0, False),
+        ("negative", "kindle_amazon", None, None, 0, 0, 0, False),
+        ("negative", "urbandictionary_4chan", "N", "td", 7, 7, 10000, True),
+        ("negative", "vbulletin_home", None, None, 0, 0, 0, False),
+    ]
+    sqls["date_indexed_detect"] = "SELECT * FROM (VALUES " + ", ".join(
+        "({})".format(", ".join([
+            f"'{lbl}'", f"'{pg}'",
+            "CAST(NULL AS VARCHAR)" if k is None else f"'{k}'",
+            "CAST(NULL AS VARCHAR)" if t is None else f"'{t}'",
+            f"CAST({n} AS INTEGER)", f"CAST({nd} AS INTEGER)",
+            f"CAST({fp} AS BIGINT)", str(det).lower(),
+        ]))
+        for lbl, pg, k, t, n, nd, fp, det in _DET_ROWS
+    ) + (") AS v(label, page, group_kind, record_tag, n_records, "
+         "n_dated, ratio_fp, detected)")
     # lsh_ann_topk: full SQL restatement of the multi-table hyperplane
     # blocking (2 tables × 6 planes, weight(t,p,d) = (((t*97+p)*131 +
     # d*137) % 997) - 498) + exact cosine re-rank — upgraded from
@@ -2008,8 +2321,10 @@ def oracle_sql() -> dict[str, str]:
     """
     # crawl_epoch / crawl_harvest: the REAL engine's 3-epoch crawl order
     # vs the chained CTE restatement (was rows-only through round 2)
-    sqls["crawl_epoch"] = _crawl_chain_sql(harvest=False)
-    sqls["crawl_harvest"] = _crawl_chain_sql(harvest=True)
+    sqls["crawl_epoch"] = _crawl_chain_sql("plain")
+    sqls["crawl_harvest"] = _crawl_chain_sql("harvest")
+    sqls["crawl_harvest_refined"] = _crawl_chain_sql("harvest_refined")
+    sqls["crawl_depth_indexed"] = _crawl_chain_sql("depth")
     # crawl_epoch_oracle: one epoch of the engine's operator chain —
     # robots disallow, per-host quota = 20000 // (1000·(1+h%3)) FIFO
     # window, same-host link extract, first-wins dedup, seen anti-join,
