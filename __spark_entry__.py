@@ -627,10 +627,24 @@ def q_date_indexed_detect(spark, sf_dir):
     parser, same patterns every run, so the oracle pins the exact
     per-page verdicts as literal rows. Input is the fixture set itself
     (sf-independent — real markup is the entire point)."""
+    from crawler_spark.operators.date_records import detect_date_indexed
+
+    det = detect_date_indexed(_fixture_pages(spark), "html", ("label", "page"))
+    return det.select(
+        "label", "page",
+        F.substring("best_group", 1, 1).alias("group_kind"),
+        F.regexp_extract(
+            F.substring_index("best_group", "/", -1), r"^([a-z0-9]+)", 1
+        ).alias("record_tag"),
+        "n_records", "n_dated",
+        F.round(F.col("date_ratio") * 10000).cast("long").alias("ratio_fp"),
+        "detected",
+    )
+
+
+def _fixture_pages(spark):
     import glob
     import os
-
-    from crawler_spark.operators.date_records import detect_date_indexed
 
     fixdir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
@@ -643,18 +657,37 @@ def q_date_indexed_detect(spark, sf_dir):
                 (label, os.path.basename(f)[:-5],
                  open(f, encoding="utf-8", errors="replace").read())
             )
-    df = spark.createDataFrame(rows, "label string, page string, html string")
-    det = detect_date_indexed(df, "html", ("label", "page"))
-    return det.select(
-        "label", "page",
-        F.substring("best_group", 1, 1).alias("group_kind"),
-        F.regexp_extract(
-            F.substring_index("best_group", "/", -1), r"^([a-z0-9]+)", 1
-        ).alias("record_tag"),
-        "n_records", "n_dated",
-        F.round(F.col("date_ratio") * 10000).cast("long").alias("ratio_fp"),
-        "detected",
+    return spark.createDataFrame(rows, "label string, page string, html string")
+
+
+def q_fixture_anchor_stats(spark, sf_dir):
+    """P1-P9 on REAL markup, DRIVER-ORACLED: anchor extraction + both
+    xpath generalization forms over the reference's 26 saved pages —
+    per page: anchor count, nofollow count, distinct flat xpaths
+    (tag/id/class) and distinct positioned xpaths (sibling-position
+    form). Deterministic parser ⇒ verdicts pinned as literal rows.
+    The two forms diverge instructively on real pages: reddit's
+    per-record unique classes (id-t3_xxx) make the flat form MORE
+    granular (282 vs 141) while class-less tables make the positioned
+    form more granular (hn_front 138 vs 7)."""
+    from crawler_spark.dom import anchors_from_html
+
+    pages = _fixture_pages(spark)
+    flat = (
+        anchors_from_html(pages, "html", ("label", "page"))
+        .groupBy("label", "page")
+        .agg(
+            F.count("*").alias("n_anchors"),
+            F.sum(F.col("nofollow").cast("int")).alias("n_nofollow"),
+            F.countDistinct("xpath").alias("n_xpaths"),
+        )
     )
+    pos = (
+        anchors_from_html(pages, "html", ("label", "page"), positioned=True)
+        .groupBy("label", "page")
+        .agg(F.countDistinct("xpath").alias("n_xpaths_positioned"))
+    )
+    return flat.join(pos, ["label", "page"])
 
 
 def q_url_seen_antijoin(spark, sf_dir):
@@ -1445,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "html_extract_positioned": q_html_extract_positioned,
         "date_indexed_detect": q_date_indexed_detect,
+        "fixture_anchor_stats": q_fixture_anchor_stats,
         "crawl_epoch_oracle": q_crawl_epoch_oracle,
         "harvest_step_oracle": q_harvest_step_oracle,
         "ttl_expiry_oracle": q_ttl_expiry_oracle,
@@ -2273,6 +2307,44 @@ def oracle_sql() -> dict[str, str]:
         for lbl, pg, k, t, n, nd, fp, det in _DET_ROWS
     ) + (") AS v(label, page, group_kind, record_tag, n_records, "
          "n_dated, ratio_fp, detected)")
+    # fixture_anchor_stats: anchor extraction + both xpath forms over
+    # the same 26 real pages — pure function of the fixture bytes,
+    # verdicts pinned (parser or generalizer regressions flip the hash)
+    _ANCHOR_ROWS = [
+        # (label, page, n_anchors, n_nofollow, n_xpaths, n_xpaths_positioned)
+        ("positive", "4chan_vg", 937, 1, 52, 804),
+        ("positive", "apple_imovie_subforum", 163, 2, 54, 162),
+        ("positive", "ars_technica", 332, 40, 23, 328),
+        ("positive", "davita_activity", 241, 3, 56, 223),
+        ("positive", "davita_dialysis_subforum", 410, 32, 98, 394),
+        ("positive", "davita_index", 331, 24, 88, 322),
+        ("positive", "fmylife_index", 237, 0, 43, 232),
+        ("positive", "gaia_index", 491, 0, 118, 446),
+        ("positive", "gaia_mini_shops_index", 655, 0, 129, 607),
+        ("positive", "gist_discover", 84, 0, 14, 83),
+        ("positive", "hn_front", 138, 2, 7, 138),
+        ("positive", "invisionpower_subforum", 154, 11, 50, 147),
+        ("positive", "kineyspace_index", 131, 0, 20, 131),
+        ("positive", "phpbb_general", 255, 0, 78, 213),
+        ("positive", "phpbb_support_index", 367, 0, 86, 269),
+        ("positive", "questions", 194, 0, 40, 192),
+        ("positive", "reddit_index", 391, 17, 282, 141),
+        ("positive", "stackoverflow_landing", 619, 0, 115, 618),
+        ("positive", "topix_carrizo_springs_tx_index", 388, 6, 265, 388),
+        ("positive", "topix_west_helena_ar", 400, 7, 275, 399),
+        ("negative", "4chan", 99, 0, 9, 96),
+        ("negative", "amazon_affiliates", 30, 0, 14, 30),
+        ("negative", "amazon_home", 339, 2, 78, 268),
+        ("negative", "kindle_amazon", 40, 0, 19, 40),
+        ("negative", "urbandictionary_4chan", 251, 0, 32, 249),
+        ("negative", "vbulletin_home", 40, 0, 13, 40),
+    ]
+    sqls["fixture_anchor_stats"] = "SELECT * FROM (VALUES " + ", ".join(
+        f"('{lbl}', '{pg}', CAST({n} AS BIGINT), CAST({nf} AS BIGINT), "
+        f"CAST({ux} AS BIGINT), CAST({up} AS BIGINT))"
+        for lbl, pg, n, nf, ux, up in _ANCHOR_ROWS
+    ) + (") AS v(label, page, n_anchors, n_nofollow, n_xpaths, "
+         "n_xpaths_positioned)")
     # lsh_ann_topk: full SQL restatement of the multi-table hyperplane
     # blocking (2 tables × 6 planes, weight(t,p,d) = (((t*97+p)*131 +
     # d*137) % 997) - 498) + exact cosine re-rank — upgraded from

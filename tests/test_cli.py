@@ -67,6 +67,12 @@ def test_cli_crawl_and_model(spark, tmp_path, capsys):
     assert len(model["leaf_xpath_freqs"]) > 0
     freqs = [x["freq"] for x in model["leaf_xpath_freqs"]]
     assert freqs == sorted(freqs, reverse=True)
+    # learned refinement rides the model JSON (possibly empty on webs
+    # where no URL path token separates fat from muscle, but always
+    # present and well-formed)
+    assert "refinements" in model
+    for r in model["refinements"]:
+        assert set(r) >= {"xpath", "avoid"}
 
 
 def test_cli_execute_model(spark, tmp_path, capsys):
