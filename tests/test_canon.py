@@ -53,3 +53,21 @@ def test_host_of(spark):
     for r in df.collect():
         assert r.h == host_of(r.u)
     assert host_of("http://host3.test/p/1/x") == "host3.test"
+
+
+def test_in_domain_predicate_reference_pin():
+    """utils_test.clj:5-9 (in-domain?): a relative href is in-domain, an
+    absolute same-host href is in-domain, a cross-host href is not. The
+    repo expresses P7 as canonicalize-against-base + host equality —
+    this pins that composition to the reference's exact truth table."""
+    from crawler_spark.canon import canonicalize, host_of
+
+    base = "http://a/b/c"
+
+    def in_domain(href):
+        cu = canonicalize(href, base)
+        return cu is not None and host_of(cu) == host_of(base)
+
+    assert in_domain("/d")
+    assert in_domain("http://a/d")
+    assert not in_domain("http://d/e")

@@ -558,3 +558,63 @@ def test_resume_full_mode_checkpoint_into_append_mode(spark, web, tmp_path):
     assert {r.url for r in cont.url_seen.collect()} == {
         r.url for r in full.url_seen.collect()
     }
+
+
+def test_resume_ignores_crashed_compaction_tmp(spark, web, tmp_path):
+    """A crash mid-compaction leaves a partial compact-NNNNN.tmp dir.
+    Resume must treat it as junk: the log read uses the last durable
+    base + commits, state is exact, and the stale .tmp is removed by the
+    next commit's cleanup rather than ever being read as a base."""
+    import os
+    import shutil
+
+    cfg, corpus, robots = web
+    seeds = seed_urls(cfg, 5)
+    base = dict(epoch_ms=8000, n_seen_buckets=8, bloom_m_bits=1 << 16)
+    ck = str(tmp_path / "crashtmp")
+    eng = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=4, checkpoint_dir=ck, log_compact_dirs=2,
+                     keep_snapshots=2, **base),
+    )
+    eng.run(seeds)
+    want_seen = {r.url for r in eng.url_seen.collect()}
+    want_order = [(r.seq, r.url) for r in eng.crawl_order.collect()]
+
+    # simulate a crash: a half-written compaction staging dir with a
+    # higher epoch than anything durable, containing a corrupt parquet
+    log_seen = os.path.join(ck, "log", "url_seen")
+    junk = os.path.join(log_seen, "compact-00099.tmp")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "part-00000.parquet"), "wb") as f:
+        f.write(b"NOT A PARQUET FILE")
+
+    cont = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=4, checkpoint_dir=ck, log_compact_dirs=2,
+                     keep_snapshots=2, **base),
+    )
+    cont.resume()
+    assert {r.url for r in cont.url_seen.collect()} == want_seen
+    assert [(r.seq, r.url) for r in cont.crawl_order.collect()] == want_order
+
+    # continuing the crawl past the crash point keeps exact parity with
+    # an uncrashed engine AND retires the stale staging dir
+    cont2 = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=6, checkpoint_dir=ck, log_compact_dirs=2,
+                     keep_snapshots=2, **base),
+    )
+    cont2.resume()
+    cont2.run(seeds)
+    plain = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=6, checkpoint_dir=str(tmp_path / "plain6"),
+                     log_compact_dirs=2, keep_snapshots=2, **base),
+    )
+    plain.run(seeds)
+    assert [(r.seq, r.url) for r in cont2.crawl_order.collect()] == [
+        (r.seq, r.url) for r in plain.crawl_order.collect()
+    ]
+    assert not os.path.isdir(junk), "stale compaction .tmp never cleaned"
+    shutil.rmtree(ck, ignore_errors=True)
