@@ -62,3 +62,25 @@ def test_fetch_join_is_broadcast(spark):
     plan = explain_str(corpus.join(F.broadcast(sel), "url", "inner"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_apply_refinement_is_broadcast_and_jvm(spark):
+    """The E3 :avoid refinement must ride the candidate stream as a
+    broadcast hash join + codegen array predicate — no shuffle of the
+    (10^10-scale) candidate side, no Python evaluation."""
+    from crawler_spark.operators.xpath_model import apply_refinement
+    from crawler_spark.plans import explain_str
+
+    links = spark.range(0, 10_000).select(
+        F.concat(F.lit("xp"), F.pmod("id", F.lit(5))).alias("src_xpath"),
+        F.concat(F.lit("http://h.test/p/"), F.col("id")).alias("url"),
+    )
+    ref = spark.createDataFrame(
+        [("xp0", ["3", "5"]), ("xp2", ["7"])],
+        "xpath string, avoid array<string>",
+    )
+    out = apply_refinement(links, ref, xpath_col="src_xpath", href_col="url")
+    plan = explain_str(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "Exchange hashpartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
