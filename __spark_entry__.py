@@ -1081,6 +1081,44 @@ def q_crawl_epoch(spark, sf_dir):
     )
 
 
+TTL_CRAWL_EPOCHS = 4  # one epoch past expiry so a re-crawl can land
+TTL_EPOCHS = 2
+
+
+def q_crawl_ttl(spark, sf_dir):
+    """FOUR engine epochs with recrawl-TTL expiry
+    (EngineConfig.recrawl_ttl_epochs=2), DRIVER-ORACLED: urls last
+    scheduled exactly 2 epochs ago leave URL-seen at epoch start; the
+    documents graph's nav links (j=3 → doc_id % 20, same-host) then
+    re-discover expired seeds, so the final crawl order legitimately
+    contains re-crawled urls at two seqs (e.g. seed 6 expires at epoch 2
+    and is re-enqueued by doc 86's nav link). The DuckDB twin chains the
+    expiry into the CTE restatement. Exact multi-config TTL gates stay
+    in tests/test_recrawl_ttl.py."""
+    import os
+    import tempfile
+
+    from crawler_spark.engine import CrawlEngine, EngineConfig
+
+    scratch = tempfile.mkdtemp(
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    eng = CrawlEngine(
+        spark, _doc_corpus(spark, sf_dir), _doc_robots(spark),
+        EngineConfig(
+            max_epochs=TTL_CRAWL_EPOCHS, epoch_ms=CRAWL_EPOCH_MS,
+            recrawl_ttl_epochs=TTL_EPOCHS, seen_filter="cuckoo",
+            checkpoint_dir=scratch, commit_every=8, detailed_metrics=False,
+        ),
+    )
+    eng.run(_crawl_seeds())
+    return eng.crawl_order.select(
+        F.col("seq").cast("long").alias("seq"),
+        "url",
+        F.col("epoch").cast("long").alias("epoch"),
+    )
+
+
 def q_crawl_harvest(spark, sf_dir):
     """E3 model-driven harvest (reference execute-model automaton,
     crawl.clj:246-530, execute.clj:10-58), DRIVER-ORACLED over three
@@ -1506,13 +1544,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_epoch": q_crawl_epoch,
         "crawl_harvest": q_crawl_harvest,
         "crawl_harvest_refined": q_crawl_harvest_refined,
+        "crawl_ttl": q_crawl_ttl,
         "crawl_depth_indexed": q_crawl_depth_indexed,
         "image_decode_stats": q_image_decode_stats,
         "image_neardup": q_image_neardup,
     }
 
 
-def _crawl_chain_sql(mode: str) -> str:
+def _ttl_cte(k: int, ttl: int | None) -> str:
+    """Per-epoch effective-seen CTE: identity without TTL; with TTL the
+    engine's expiry (urls last scheduled exactly k-ttl epochs ago leave
+    URL-seen at epoch-k start, before the anti-join) is restated from
+    the ord{{j}} scheduling history."""
+    if ttl is None or k - ttl < 0:
+        return f"seeneff{k} AS (SELECT url FROM seen{k}),"
+    later = " UNION ALL ".join(
+        f"SELECT url FROM ord{j}" for j in range(k - ttl + 1, k)
+    )
+    not_later = f" WHERE url NOT IN ({later})" if later else ""
+    return f"""expired{k} AS (
+  SELECT url FROM ord{k - ttl}{not_later}),
+seeneff{k} AS (
+  SELECT url FROM seen{k}
+  WHERE url NOT IN (SELECT url FROM expired{k})),"""
+
+
+def _crawl_chain_sql(mode: str, epochs: int | None = None,
+                     ttl: int | None = None) -> str:
     """Chained multi-epoch DuckDB restatement of the engine crawl loop
     (sequential-oracle semantics, crawler_spark/oracle.py; reference
     crawl.clj:46-198): per epoch — robots drop, dual-queue per-host
@@ -1526,8 +1584,15 @@ def _crawl_chain_sql(mode: str) -> str:
     the :avoid refinement over href path tokens, dom.clj:942-1061), and
     'depth' (xpath-to-pick, crawl.clj:200-202 — the frontier carries
     plan depth; a page follows only action_seq[depth]; paging hops keep
-    the parent depth)."""
-    K, epochs, ems = N_CRAWL_DOCS, N_CRAWL_EPOCHS, CRAWL_EPOCH_MS
+    the parent depth).
+
+    ``ttl=T`` adds the engine's recrawl-TTL expiry to every epoch k >= T
+    (EngineConfig.recrawl_ttl_epochs; oracle.py:123-132): at epoch
+    start, urls whose LATEST scheduling epoch equals k-T leave URL-seen,
+    so later re-discovery enqueues and recrawls them — the final order
+    then legitimately contains the same url at two seqs."""
+    K, ems = N_CRAWL_DOCS, CRAWL_EPOCH_MS
+    epochs = N_CRAWL_EPOCHS if epochs is None else epochs
     is_digit = (
         "(regexp_full_match(coalesce(l.text, ''), '[0-9]+') "
         f"OR {_DIGIT_OVERRIDE})"
@@ -1630,12 +1695,13 @@ firstw{k} AS (
                                    ORDER BY src_seq, j) AS rn
     FROM cand{k} c)
   WHERE rn = 1),
+{_ttl_cte(k, ttl)}
 new{k} AS (
   SELECT doc_id, host, url, queue, src_xpath, depth,
          {next_base} + row_number() OVER (ORDER BY src_seq, j) - 1
            AS insertion_seq
   FROM firstw{k} f
-  WHERE NOT EXISTS (SELECT 1 FROM seen{k} sn WHERE sn.url = f.url)),
+  WHERE NOT EXISTS (SELECT 1 FROM seeneff{k} sn WHERE sn.url = f.url)),
 frontier{k + 1} AS (
   SELECT doc_id, host, url, insertion_seq, queue, src_xpath, depth
   FROM allowed{k}
@@ -1643,7 +1709,7 @@ frontier{k + 1} AS (
   UNION ALL
   SELECT doc_id, host, url, insertion_seq, queue, src_xpath, depth
   FROM new{k}),
-seen{k + 1} AS (SELECT url FROM seen{k} UNION ALL SELECT url FROM new{k}),""")
+seen{k + 1} AS (SELECT url FROM seeneff{k} UNION ALL SELECT url FROM new{k}),""")
     union = " UNION ALL ".join(f"SELECT * FROM ord{i}" for i in range(epochs))
     parts.append(f"""
 all_ord AS ({union})
@@ -2396,6 +2462,9 @@ def oracle_sql() -> dict[str, str]:
     sqls["crawl_epoch"] = _crawl_chain_sql("plain")
     sqls["crawl_harvest"] = _crawl_chain_sql("harvest")
     sqls["crawl_harvest_refined"] = _crawl_chain_sql("harvest_refined")
+    sqls["crawl_ttl"] = _crawl_chain_sql(
+        "plain", epochs=TTL_CRAWL_EPOCHS, ttl=TTL_EPOCHS
+    )
     sqls["crawl_depth_indexed"] = _crawl_chain_sql("depth")
     # crawl_epoch_oracle: one epoch of the engine's operator chain —
     # robots disallow, per-host quota = 20000 // (1000·(1+h%3)) FIFO

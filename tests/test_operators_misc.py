@@ -177,3 +177,30 @@ def test_cluster_assignment_with_singletons(spark):
         clustering.cluster_pages_by_similarity(pairs, ids)
     ).collect()
     assert ranks[0].cluster_id == 1 and ranks[0].size == 2
+
+
+def test_crawl_ttl_oracle_is_nonvacuous():
+    """The crawl_ttl chain oracle must actually exercise expiry +
+    re-crawl: the same url appears at two seqs (seed 6 expires at epoch
+    TTL_EPOCHS, doc 86's nav link re-discovers it). Guards the shared
+    graph constants against drifting into a vacuous TTL gate. DuckDB
+    only — no Spark session."""
+    from collections import Counter
+
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    rows = con.execute(entry.oracle_sql()["crawl_ttl"]).fetchall()
+    counts = Counter(u for _, u, _ in rows)
+    recrawled = {u for u, n in counts.items() if n > 1}
+    assert recrawled, "TTL chain never re-crawls anything"
+    # the re-crawl lands strictly after the expiry epoch
+    for u in recrawled:
+        epochs = sorted(e for _, uu, e in rows if uu == u)
+        assert epochs[-1] >= epochs[0] + entry.TTL_EPOCHS
