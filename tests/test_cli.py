@@ -248,3 +248,39 @@ def test_depth_indexed_action_sequence_parity(spark, tmp_path):
     assert oracle.url_seen != flat.url_seen, (
         "depth-indexed and flat semantics coincide — test web too simple"
     )
+
+
+def test_cli_execute_model_depth_indexed_and_no_refine(spark, tmp_path, capsys):
+    """The round-3 CLI surface end-to-end: execute-model --depth-indexed
+    treats the top actions as an ordered depth-indexed plan, and
+    --no-refine ignores any learned refinements; both run a real harvest
+    and report their mode in the output JSON."""
+    seeds_file = tmp_path / "seeds.txt"
+    seeds_file.write_text("http://host0.test/p/0/img-42-00000000\n")
+    ck = tmp_path / "ck"
+    assert cli.main([
+        "crawl", "--seeds", str(seeds_file), "--checkpoint", str(ck),
+        "--synth-pages", "300", "--synth-hosts", "10",
+        "--epochs", "3", "--epoch-ms", "8000",
+    ]) == 0
+    capsys.readouterr()
+    model_path = tmp_path / "model.json"
+    assert cli.main([
+        "learn-model", "--checkpoint", str(ck),
+        "--synth-pages", "300", "--synth-hosts", "10",
+        "--out", str(model_path),
+    ]) == 0
+    capsys.readouterr()
+    assert cli.main([
+        "execute-model", "--model", str(model_path),
+        "--seeds", str(seeds_file), "--checkpoint", str(tmp_path / "ck2"),
+        "--synth-pages", "300", "--synth-hosts", "10",
+        "--epochs", "3", "--epoch-ms", "8000",
+        "--top-actions", "2", "--harvest-budget", "20",
+        "--depth-indexed", "--no-refine",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["depth_indexed"] is True
+    assert out["refine_avoid"] == []
+    assert len(out["actions"]) == 2
+    assert out["manifest"]["dequeue_seq"] > 0
