@@ -16,8 +16,16 @@ from crawler_spark.plans import (
 SF = "/root/testdata/sf0.001"
 
 # queries that launch their own jobs / engines are excluded from the
-# plan-only sweep (crawl_epoch runs a full engine loop)
-SKIP = {"crawl_epoch", "image_decode_stats"}
+# plan-only sweep: building their DataFrame EXECUTES a multi-epoch
+# engine loop or a streaming query, and the returned frame is a plain
+# state-table read whose plan proves nothing — the engines' physical
+# shapes are asserted directly (test_fetch_join_is_broadcast,
+# test_seen.py, crawler_spark/plans/audit.py inside the engine itself)
+SKIP = {
+    "crawl_epoch", "crawl_harvest", "crawl_harvest_refined",
+    "crawl_depth_indexed", "crawl_ttl", "stream_politeness_throttle",
+    "stream_tumbling_hourly", "image_decode_stats",
+}
 
 
 # embed_topk is the deliberate brute-force baseline: a tiny broadcast
