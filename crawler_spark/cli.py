@@ -181,12 +181,23 @@ def cmd_learn_model(args) -> int:
     # appear ONLY in fat links (:avoid) / only in muscle links (:only).
     from crawler_spark.operators.xpath_model import refine_xpaths
 
+    from crawler_spark.canon import canonicalize_expr
+
     tgt = corpus.select(
         F.col("url").alias("href"), F.col("is_leaf").alias("good")
     ).join(order.select(F.col("url").alias("href")), "href", "left_semi")
+    # canonicalize each href against its source page before joining the
+    # fetched-target table: relative / fragment-bearing hrefs would never
+    # equal a canonical corpus url, silently excluding those links from
+    # muscle/fat labeling — and execution applies avoid tokens to
+    # CANONICAL urls, so learning must tokenize the same keys
     labeled = (
-        fetched.select(F.explode("out_links").alias("l"))
-        .select(F.col("l.xpath").alias("xpath"), F.col("l.href").alias("href"))
+        fetched.select("url", F.explode("out_links").alias("l"))
+        .select(
+            F.col("l.xpath").alias("xpath"),
+            canonicalize_expr(F.col("l.href"), F.col("url")).alias("href"),
+        )
+        .filter(F.col("href").isNotNull())
         .join(tgt, "href")
     )
     refinements = [

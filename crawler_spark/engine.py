@@ -142,6 +142,24 @@ class EngineConfig:
     # broadcast-probe path avoids ever shuffling the 10^10-row seen table
     scan_only_seen_rows: int = 20_000_000
 
+    def __post_init__(self):
+        # bloom bits can't be unset, so a TTL run with bloom segments
+        # would rebuild the whole filter from the surviving seen set on
+        # EVERY expiry epoch — O(total seen), O(10^10) at the design
+        # point. Rejected at config time; cuckoo's fingerprint deletes
+        # are O(expired) with untouched segments passed through.
+        if (
+            self.recrawl_ttl_epochs is not None
+            and self.use_bloom
+            and self.seen_filter == "bloom"
+        ):
+            raise ValueError(
+                "recrawl_ttl_epochs with seen_filter='bloom' would rebuild "
+                "the whole bloom filter every expiry epoch (O(total seen)); "
+                "use seen_filter='cuckoo' (O(expired) fingerprint deletes) "
+                "or use_bloom=False for TTL runs"
+            )
+
 
 _STATE_TABLES = (
     "frontier", "url_seen", "segments", "crawl_order", "lineage", "metrics",
@@ -174,7 +192,9 @@ _TABLE_SCHEMAS = {
 }
 
 
-_LOG_DIR_RE = re.compile(r"(commit|compact|delete)-\d{5}")
+# {epoch:05d} grows to 6+ digits at epoch >= 100000 — \d{5,} (and numeric
+# sorting everywhere a dir list is ordered) keeps long crawls readable
+_LOG_DIR_RE = re.compile(r"(commit|compact|delete)-\d{5,}")
 
 # tables whose rows a TTL expiry removes, with the equality-delete key.
 # Their deletions commit as per-epoch tombstone dirs (log/<table>/
@@ -291,10 +311,13 @@ def read_state_tables(spark, ckpt: str, names: list) -> dict:
     """Committed state tables from a checkpoint dir without an engine
     instance (CLI model learning etc.) — append-log aware."""
     snaps = sorted(
-        x
-        for x in os.listdir(ckpt)
-        if x.startswith("snap-")
-        and os.path.exists(os.path.join(ckpt, x, "manifest.json"))
+        (
+            x
+            for x in os.listdir(ckpt)
+            if x.startswith("snap-")
+            and os.path.exists(os.path.join(ckpt, x, "manifest.json"))
+        ),
+        key=lambda s: int(s.split("-")[1]),
     )
     if not snaps:
         raise FileNotFoundError(f"no committed snapshot under {ckpt}")
@@ -324,8 +347,6 @@ class CrawlEngine:
     # one-shot flag: the Observation-future fast path silently degrading
     # to fallback recompute jobs must be visible at least once per process
     _warned_obs_fallback = False
-    # one-shot flag: bloom+TTL's O(total-seen) filter rebuild per expiry
-    _warned_bloom_ttl = False
 
     def __init__(
         self,
@@ -476,8 +497,12 @@ class CrawlEngine:
             for name in _APPEND_TABLES:
                 self._state[name] = self._read_log_table(name, epoch)
         # prune old snapshots (never the one just committed or anything
-        # newer — defense in depth against a dirty checkpoint dir)
-        snaps = sorted(x for x in os.listdir(self.ckpt) if x.startswith("snap-"))
+        # newer — defense in depth against a dirty checkpoint dir).
+        # numeric sort: snap-100000 must rank above snap-99999
+        snaps = sorted(
+            (x for x in os.listdir(self.ckpt) if x.startswith("snap-")),
+            key=lambda s: int(s.split("-")[1]),
+        )
         keep = max(1, self.cfg.keep_snapshots)  # 0 must not mean "keep all"
         # len-keep clamped at 0: a negative slice bound would wrap around
         # and delete all-but-the-last while the window is still FILLING
@@ -537,7 +562,10 @@ class CrawlEngine:
         self._pending_unpersist.clear()
 
     def latest_snapshot(self) -> int | None:
-        snaps = sorted(x for x in os.listdir(self.ckpt) if x.startswith("snap-"))
+        snaps = sorted(
+            (x for x in os.listdir(self.ckpt) if x.startswith("snap-")),
+            key=lambda s: int(s.split("-")[1]),
+        )
         for s in reversed(snaps):
             if os.path.exists(os.path.join(self.ckpt, s, "manifest.json")):
                 return int(s.split("-")[1])
@@ -690,10 +718,22 @@ class CrawlEngine:
                 )
             return fallback()
         deadline = time.monotonic() + wait_s
-        while not fut.isCompleted():
-            if time.monotonic() >= deadline:
-                return fallback()
-            time.sleep(0.02)
+        try:
+            while not fut.isCompleted():
+                if time.monotonic() >= deadline:
+                    return fallback()
+                time.sleep(0.02)
+        except Exception:
+            # a Py4J/JVM error while POLLING must degrade to the exact
+            # fallback recompute, same as a failure acquiring the future —
+            # not abort the epoch
+            if not CrawlEngine._warned_obs_fallback:
+                CrawlEngine._warned_obs_fallback = True
+                logger.warning(
+                    "Observation future polling failed (Py4J/JVM error?) — "
+                    "falling back to per-epoch metric recompute jobs"
+                )
+            return fallback()
         try:
             row = obs.get
         except Exception:
@@ -746,36 +786,22 @@ class CrawlEngine:
                         for p in self._uncommitted[name]
                     ]
             if self.cfg.use_bloom:
-                if self.cfg.seen_filter == "cuckoo":
-                    from .cuckoo import delete_from_cuckoo_segments
+                # EngineConfig.__post_init__ rejects bloom+TTL, so the
+                # only prefilter reaching expiry is cuckoo — O(expired)
+                # fingerprint deletes, untouched segments pass through
+                # byte-identical. (The old bloom path rebuilt the whole
+                # filter from survivors every expiry epoch — O(total).)
+                from .cuckoo import delete_from_cuckoo_segments
 
-                    keys = expired.withColumn(
-                        "url_hash", F.xxhash64("url")
-                    ).withColumn(
-                        "partition_id",
-                        bucket_expr(F.col("url_hash"), self.cfg.n_seen_buckets),
-                    )
-                    self._state["segments"] = delete_from_cuckoo_segments(
-                        self._state["segments"], keys
-                    )
-                else:
-                    # bloom bits can't be unset: rebuild from survivors —
-                    # O(total seen) per expiry epoch. Fine at small state;
-                    # at 10^10 keys use seen_filter="cuckoo", whose
-                    # fingerprint deletes are O(expired) with untouched
-                    # segments passed through byte-identical.
-                    if not CrawlEngine._warned_bloom_ttl:
-                        CrawlEngine._warned_bloom_ttl = True
-                        logger.warning(
-                            "TTL expiry with seen_filter='bloom' rebuilds "
-                            "the whole filter from the surviving seen set "
-                            "every expiry epoch (O(total)); prefer "
-                            "seen_filter='cuckoo' for TTL runs (O(expired) "
-                            "fingerprint deletes)"
-                        )
-                    self._state["segments"] = build_segments(
-                        self._state["url_seen"], None, self.cfg.bloom_m_bits
-                    )
+                keys = expired.withColumn(
+                    "url_hash", F.xxhash64("url")
+                ).withColumn(
+                    "partition_id",
+                    bucket_expr(F.col("url_hash"), self.cfg.n_seen_buckets),
+                )
+                self._state["segments"] = delete_from_cuckoo_segments(
+                    self._state["segments"], keys
+                )
             if self._alias_map is not None:
                 # an expired page must re-extract on refetch, not count
                 # as a redirect-cache hit

@@ -28,7 +28,9 @@ Detector:
 * score = fraction of records whose subtree text matches a date
   pattern; accept if >= ratio with >= min_records records; best
   candidate = most dated records, ties to the shorter then
-  lexicographically smaller group key (deterministic).
+  lexicographically LARGER group key (max comparison on (n_dated,
+  -len(key), key) — deterministic either way; the golden pins lock
+  this exact rule, so it must not flip).
 
 Spark shape: per-page work (parse + group + score) is an Arrow-batched
 ``mapInPandas`` stage — embarrassingly parallel, zero shuffle, same

@@ -536,13 +536,14 @@ def test_resume_full_mode_checkpoint_into_append_mode(spark, web, tmp_path):
 
     part = CrawlEngine(
         spark, corpus, robots,
-        EngineConfig(max_epochs=2, checkpoint_dir=ck,
-                     recrawl_ttl_epochs=10, **base),  # full-mode commits
+        EngineConfig(max_epochs=2, checkpoint_dir=ck, seen_filter="cuckoo",
+                     recrawl_ttl_epochs=10, **base),
     )
     part.run(seeds)
     cont = CrawlEngine(
         spark, corpus, robots,
-        EngineConfig(max_epochs=4, checkpoint_dir=ck, **base),  # append mode
+        EngineConfig(max_epochs=4, checkpoint_dir=ck, seen_filter="cuckoo",
+                     **base),  # append mode; filter kind must match snapshot
     )
     cont.resume()
     cont.run()

@@ -1,7 +1,7 @@
 """TTL recrawl expiry: pages last scheduled T epochs ago leave URL-seen
-(cuckoo fingerprint delete / bloom rebuild) so re-discovered links crawl
-them fresh. Gate = exact crawl-order + URL-seen parity vs the sequential
-oracle with the same TTL rule."""
+(cuckoo fingerprint delete; bloom+TTL is rejected at config time) so
+re-discovered links crawl them fresh. Gate = exact crawl-order + URL-seen
+parity vs the sequential oracle with the same TTL rule."""
 
 import numpy as np
 import pytest
@@ -52,10 +52,41 @@ def test_ttl_parity_cuckoo(spark, web, tmp_path):
     _parity(spark, web, tmp_path / "ck_cuckoo", "cuckoo")
 
 
-def test_ttl_parity_bloom_rebuild(spark, web, tmp_path):
-    """Bloom can't delete bits — expiry rebuilds segments from the
-    surviving seen set; results must be identical to the cuckoo path."""
-    _parity(spark, web, tmp_path / "ck_bloom", "bloom")
+def test_ttl_rejects_bloom_at_config_time(spark, web, tmp_path):
+    """Bloom can't delete bits — a TTL run with bloom segments would
+    rebuild the whole filter from survivors every expiry epoch
+    (O(total seen), O(10^10) at the design point). The config is
+    rejected up front, naming the cuckoo alternative."""
+    with pytest.raises(ValueError, match="cuckoo"):
+        EngineConfig(
+            max_epochs=6, epoch_ms=8000, n_seen_buckets=8,
+            checkpoint_dir=str(tmp_path / "ck_bloom"), seen_filter="bloom",
+            recrawl_ttl_epochs=2,
+        )
+
+
+def test_ttl_parity_no_prefilter(spark, web, tmp_path):
+    """TTL with the prefilter disabled entirely (exact anti-join only)
+    must match the oracle too — expiry then touches only url_seen."""
+    cfg, corpus, robots = web
+    seeds = seed_urls(cfg, 3)
+    oracle = crawl_oracle(
+        cfg, seeds, robots_rows(cfg), max_epochs=6, epoch_ms=8000,
+        recrawl_ttl_epochs=2,
+    )
+    eng = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(
+            max_epochs=6, epoch_ms=8000, n_seen_buckets=8,
+            checkpoint_dir=str(tmp_path / "ck_nofilter"), use_bloom=False,
+            recrawl_ttl_epochs=2,
+        ),
+    )
+    eng.run(seeds)
+    got_order = [(r.seq, r.url, r.epoch) for r in eng.crawl_order.collect()]
+    want_order = [(s, u, e) for (s, u, e, _h) in oracle.crawl_order]
+    assert got_order == want_order
+    assert {r.url for r in eng.url_seen.collect()} == oracle.url_seen
 
 
 def test_no_ttl_means_no_refetch(spark, web, tmp_path):
