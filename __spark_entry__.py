@@ -1217,6 +1217,54 @@ def q_crawl_harvest_refined(spark, sf_dir):
     )
 
 
+# multi-action-sequence budgeted execution (main.clj:264-287): three
+# depth-indexed plans ranked by plan_model (length asc, yield desc —
+# yields chosen so the ranking is the tuple order below), one shared
+# budget of 12 pages. At sf0.01 plan 0 visits 7, plan 1 starts from the
+# depleted remainder (12−7=5) and is stopped mid-plan by it (5 of its
+# unbudgeted 6), plan 2 is skipped outright — all three regimes (run to
+# completion / budget-stopped / skipped) in one gated query.
+MULTISEQ_PLANS = (("xp2", "xp1"), ("xp0", "xp2"), ("xp1", "xp0"))
+MULTISEQ_YIELDS = (30, 20, 10)
+MULTISEQ_BUDGET = 12
+
+
+def q_crawl_multiseq(spark, sf_dir):
+    """E3 multi-action-sequence budgeted execution (the reference's
+    execute-model-budget-crawler fold, main.clj:247-305 +
+    execute.clj:50-86), DRIVER-ORACLED: plan_model ranks the three
+    action sequences, execute_model_budget chains them through
+    successive depth-indexed engine runs under ONE shared page budget —
+    each sequence's max_pages is what the previous sequences left, and
+    a sequence reached after exhaustion never launches. The DuckDB twin
+    states every chain's budget as a scalar over the previous chains'
+    scheduled counts inside one statement. Exact parity gate (incl. the
+    mid-plan stop and the skip): tests/test_multiseq.py."""
+    import os
+    import tempfile
+
+    from crawler_spark.multiseq import execute_model_budget, plan_model
+
+    planned = plan_model(zip(MULTISEQ_PLANS, MULTISEQ_YIELDS))
+    assert planned == list(MULTISEQ_PLANS)  # yields encode the rank
+    res = execute_model_budget(
+        spark, _doc_corpus(spark, sf_dir), _doc_robots(spark),
+        _crawl_seeds(), planned, HARVEST_PAGING_XP,
+        budget=MULTISEQ_BUDGET,
+        checkpoint_root=tempfile.mkdtemp(
+            dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+        ),
+        max_epochs=N_CRAWL_EPOCHS, epoch_ms=CRAWL_EPOCH_MS,
+        commit_every=4, detailed_metrics=False,
+    )
+    return res.crawl_order().select(
+        "plan_idx",
+        F.col("seq").cast("long").alias("seq"),
+        "url",
+        F.col("epoch").cast("long").alias("epoch"),
+    )
+
+
 def q_crawl_depth_indexed(spark, sf_dir):
     """Depth-indexed action sequences (reference xpath-to-pick,
     crawl.clj:200-202), DRIVER-ORACLED: a page at plan depth d follows
@@ -1570,27 +1618,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_harvest_refined": q_crawl_harvest_refined,
         "crawl_ttl": q_crawl_ttl,
         "crawl_depth_indexed": q_crawl_depth_indexed,
+        "crawl_multiseq": q_crawl_multiseq,
         "image_decode_stats": q_image_decode_stats,
         "image_neardup": q_image_neardup,
     }
 
 
-def _ttl_cte(k: int, ttl: int | None) -> str:
+def _ttl_cte(k: int, ttl: int | None, p: str = "", mat: str = "") -> str:
     """Per-epoch effective-seen CTE: identity without TTL; with TTL the
     engine's expiry (urls last scheduled exactly k-ttl epochs ago leave
     URL-seen at epoch-k start, before the anti-join) is restated from
-    the ord{{j}} scheduling history."""
+    the ord{{j}} scheduling history. ``p`` prefixes every chain-local
+    CTE name so several chains can share one statement (multiseq)."""
     if ttl is None or k - ttl < 0:
-        return f"seeneff{k} AS (SELECT url FROM seen{k}),"
+        return f"{p}seeneff{k} AS {mat}(SELECT url FROM {p}seen{k}),"
     later = " UNION ALL ".join(
-        f"SELECT url FROM ord{j}" for j in range(k - ttl + 1, k)
+        f"SELECT url FROM {p}ord{j}" for j in range(k - ttl + 1, k)
     )
     not_later = f" WHERE url NOT IN ({later})" if later else ""
-    return f"""expired{k} AS (
-  SELECT url FROM ord{k - ttl}{not_later}),
-seeneff{k} AS (
-  SELECT url FROM seen{k}
-  WHERE url NOT IN (SELECT url FROM expired{k})),"""
+    return f"""{p}expired{k} AS (
+  SELECT url FROM {p}ord{k - ttl}{not_later}),
+{p}seeneff{k} AS (
+  SELECT url FROM {p}seen{k}
+  WHERE url NOT IN (SELECT url FROM {p}expired{k})),"""
 
 
 def _crawl_chain_sql(mode: str, epochs: int | None = None,
@@ -1615,8 +1665,66 @@ def _crawl_chain_sql(mode: str, epochs: int | None = None,
     start, urls whose LATEST scheduling epoch equals k-T leave URL-seen,
     so later re-discovery enqueues and recrawls them — the final order
     then legitimately contains the same url at two seqs."""
-    K, ems = N_CRAWL_DOCS, CRAWL_EPOCH_MS
     epochs = N_CRAWL_EPOCHS if epochs is None else epochs
+    parts = [
+        _chain_header(),
+        _chain_epoch_blocks(mode, epochs, ttl=ttl),
+    ]
+    union = " UNION ALL ".join(f"SELECT * FROM ord{i}" for i in range(epochs))
+    parts.append(f"""
+all_ord AS ({union})
+SELECT CAST(seq AS BIGINT) AS seq, url, CAST(epoch AS BIGINT) AS epoch
+FROM all_ord""")
+    return "\n".join(parts)
+
+
+def _chain_header(materialize: bool = False) -> str:
+    """Shared WITH header for every crawl-chain restatement: the link
+    arithmetic + the seed frontier rows. ``materialize`` marks the
+    shared CTEs MATERIALIZED — required by the multi-chain multiseq
+    statement, where inlined re-expansion would re-open the documents
+    parquet once per reference and exhaust the fd limit."""
+    links = _LINKS_CTE.strip().lstrip("WITH").strip()
+    if materialize:
+        links = links.replace("links AS (", "links AS MATERIALIZED (", 1).replace(
+            "links2 AS (", "links2 AS MATERIALIZED (", 1
+        )
+    mat = "MATERIALIZED " if materialize else ""
+    return (
+        f"WITH {links},"
+        + f"""
+seeds AS {mat}(
+  SELECT d.doc_id, d.doc_id % {N_HOSTS} AS host,
+         'http://host' || CAST(d.doc_id % {N_HOSTS} AS VARCHAR)
+           || '.test/p/' || CAST(d.doc_id AS VARCHAR) AS url,
+         row_number() OVER (ORDER BY d.doc_id) - 1 AS insertion_seq,
+         'content' AS queue, CAST(NULL AS VARCHAR) AS src_xpath,
+         0 AS depth
+  FROM documents d
+  WHERE d.doc_id IN ({", ".join(str(x) for x in CRAWL_SEED_DOCS)})),"""
+    )
+
+
+def _chain_epoch_blocks(
+    mode: str,
+    epochs: int,
+    ttl: int | None = None,
+    action_seq: tuple | None = None,
+    p: str = "",
+    budget: str | None = None,
+    materialize: bool = False,
+) -> str:
+    """The per-epoch CTE blocks of ONE crawl chain (no WITH header, no
+    final select). Every chain-local CTE name carries prefix ``p`` so
+    several chains can share one statement (the multiseq twin).
+
+    ``action_seq`` overrides DEPTH_ACTION_SEQ for mode='depth'.
+    ``budget`` is a SQL scalar expression for this chain's max_pages:
+    epoch k dequeues only while (pages this chain already scheduled) <
+    budget — the engine's epoch-granular max_pages stop
+    (engine.py run(): dequeue_seq >= max_pages breaks BEFORE the epoch;
+    oracle.py:117 applies the identical rule)."""
+    K, ems = N_CRAWL_DOCS, CRAWL_EPOCH_MS
     is_digit = (
         "(regexp_full_match(coalesce(l.text, ''), '[0-9]+') "
         f"OR {_DIGIT_OVERRIDE})"
@@ -1636,8 +1744,9 @@ def _crawl_chain_sql(mode: str, epochs: int | None = None,
     elif depth_mode:
         pg = ", ".join(f"'{x}'" for x in HARVEST_PAGING_XP)
         keep_paging = f"({is_digit} AND l.xpath IN ({pg}))"
+        seq_xp = DEPTH_ACTION_SEQ if action_seq is None else action_seq
         action = "CASE s.depth " + " ".join(
-            f"WHEN {d} THEN '{xp}'" for d, xp in enumerate(DEPTH_ACTION_SEQ)
+            f"WHEN {d} THEN '{xp}'" for d, xp in enumerate(seq_xp)
         ) + " END"
         cand_filter = (
             f"AND ({keep_paging} OR (NOT {keep_paging} AND l.xpath = {action}))"
@@ -1659,85 +1768,115 @@ def _crawl_chain_sql(mode: str, epochs: int | None = None,
         )
         cand_filter += f" AND NOT ({hits})"
 
-    parts = [
-        f"WITH {_LINKS_CTE.strip().lstrip('WITH').strip()},",
-        f"""
-seeds AS (
-  SELECT d.doc_id, d.doc_id % {N_HOSTS} AS host,
-         'http://host' || CAST(d.doc_id % {N_HOSTS} AS VARCHAR)
-           || '.test/p/' || CAST(d.doc_id AS VARCHAR) AS url,
-         row_number() OVER (ORDER BY d.doc_id) - 1 AS insertion_seq,
-         'content' AS queue, CAST(NULL AS VARCHAR) AS src_xpath,
-         0 AS depth
-  FROM documents d
-  WHERE d.doc_id IN ({", ".join(str(x) for x in CRAWL_SEED_DOCS)})),
-frontier0 AS (SELECT * FROM seeds),
-seen0 AS (SELECT url FROM seeds),""",
-    ]
+    # MATERIALIZED (multiseq only): each chain CTE is referenced many
+    # times (seq bases, later chains' budget guards, the final union);
+    # inlined re-expansion is exponential in epochs and re-opens the
+    # documents parquet per reference
+    mat = "MATERIALIZED " if materialize else ""
+    parts = [f"""
+{p}frontier0 AS {mat}(SELECT * FROM seeds),
+{p}seen0 AS {mat}(SELECT url FROM seeds),"""]
     for k in range(epochs):
         seq_base = " + ".join(
-            [f"(SELECT COUNT(*) FROM ord{i})" for i in range(k)]
+            [f"(SELECT COUNT(*) FROM {p}ord{i})" for i in range(k)]
         ) or "0"
         next_base = " + ".join(
-            ["4"] + [f"(SELECT COUNT(*) FROM new{i})" for i in range(k)]
+            ["4"] + [f"(SELECT COUNT(*) FROM {p}new{i})" for i in range(k)]
         )
+        budget_guard = ""
+        if budget is not None:
+            budget_guard = f"\n    AND ({seq_base}) < ({budget})"
         parts.append(f"""
-allowed{k} AS (
-  SELECT * FROM frontier{k}
+{p}allowed{k} AS {mat}(
+  SELECT * FROM {p}frontier{k}
   WHERE NOT (host % 4 = 0
              AND starts_with('/p/' || CAST(doc_id AS VARCHAR), '/p/1'))),
-pool{k} AS (
-  SELECT a.* FROM allowed{k} a
+{p}pool{k} AS {mat}(
+  SELECT a.* FROM {p}allowed{k} a
   WHERE NOT (a.queue = 'paging' AND a.host IN
-             (SELECT host FROM allowed{k} WHERE queue = 'content'))),
-sel{k} AS (
+             (SELECT host FROM {p}allowed{k} WHERE queue = 'content'))),
+{p}sel{k} AS {mat}(
   SELECT * FROM (
     SELECT p.*, row_number() OVER (
         PARTITION BY host
         ORDER BY CASE WHEN queue = 'paging'
                       THEN -length(coalesce(src_xpath, '')) ELSE 0 END,
                  insertion_seq) AS rn
-    FROM pool{k} p)
-  WHERE rn <= GREATEST(1, {ems} // (1000 * (1 + host % 3)))),
-ord{k} AS (
+    FROM {p}pool{k} p)
+  WHERE rn <= GREATEST(1, {ems} // (1000 * (1 + host % 3))){budget_guard}),
+{p}ord{k} AS {mat}(
   SELECT url,
          {seq_base} + row_number() OVER (ORDER BY insertion_seq) - 1 AS seq,
          {k} AS epoch
-  FROM sel{k}),
-cand{k} AS (
+  FROM {p}sel{k}),
+{p}cand{k} AS {mat}(
   SELECT l.tgt AS doc_id, l.tgt_host AS host, l.j,
          s.insertion_seq AS src_seq, l.xpath AS src_xpath, l.href AS url,
          {queue_case} AS queue,
          CASE WHEN {queue_case} = 'paging' THEN s.depth
               ELSE s.depth + 1 END AS depth
-  FROM links2 l JOIN sel{k} s ON s.doc_id = l.doc_id
+  FROM links2 l JOIN {p}sel{k} s ON s.doc_id = l.doc_id
   WHERE l.doc_id < {K} AND NOT l.is_js AND NOT l.nofollow
     AND l.tgt_host = l.src_host {cand_filter}),
-firstw{k} AS (
+{p}firstw{k} AS {mat}(
   SELECT * FROM (
     SELECT c.*, row_number() OVER (PARTITION BY url
                                    ORDER BY src_seq, j) AS rn
-    FROM cand{k} c)
+    FROM {p}cand{k} c)
   WHERE rn = 1),
-{_ttl_cte(k, ttl)}
-new{k} AS (
+{_ttl_cte(k, ttl, p, mat)}
+{p}new{k} AS {mat}(
   SELECT doc_id, host, url, queue, src_xpath, depth,
          {next_base} + row_number() OVER (ORDER BY src_seq, j) - 1
            AS insertion_seq
-  FROM firstw{k} f
-  WHERE NOT EXISTS (SELECT 1 FROM seeneff{k} sn WHERE sn.url = f.url)),
-frontier{k + 1} AS (
+  FROM {p}firstw{k} f
+  WHERE NOT EXISTS (SELECT 1 FROM {p}seeneff{k} sn WHERE sn.url = f.url)),
+{p}frontier{k + 1} AS {mat}(
   SELECT doc_id, host, url, insertion_seq, queue, src_xpath, depth
-  FROM allowed{k}
-  WHERE insertion_seq NOT IN (SELECT insertion_seq FROM sel{k})
+  FROM {p}allowed{k}
+  WHERE insertion_seq NOT IN (SELECT insertion_seq FROM {p}sel{k})
   UNION ALL
   SELECT doc_id, host, url, insertion_seq, queue, src_xpath, depth
-  FROM new{k}),
-seen{k + 1} AS (SELECT url FROM seeneff{k} UNION ALL SELECT url FROM new{k}),""")
-    union = " UNION ALL ".join(f"SELECT * FROM ord{i}" for i in range(epochs))
+  FROM {p}new{k}),
+{p}seen{k + 1} AS {mat}(SELECT url FROM {p}seeneff{k}
+                   UNION ALL SELECT url FROM {p}new{k}),""")
+    return "\n".join(parts)
+
+
+def _multiseq_sql(plans: tuple, budget: int, epochs: int) -> str:
+    """Chained DuckDB restatement of the multi-action-sequence budgeted
+    executor (crawler_spark/multiseq.py; reference main.clj:264-287 +
+    execute.clj:50-86): one depth-mode crawl chain per planned sequence,
+    each chain's max_pages = budget − Σ(pages scheduled by the previous
+    chains) — a scalar the later chain's epoch guards reference
+    directly, so sequence i+1 demonstrably starts from sequence i's
+    depleted budget inside ONE statement. A chain whose remaining
+    budget is ≤ 0 schedules nothing (the epoch-0 guard fails), exactly
+    the driver's skip."""
+    parts = [_chain_header(materialize=True)]
+    spent_terms: list = []
+    for i, plan in enumerate(plans):
+        remaining = str(budget)
+        if spent_terms:
+            remaining = f"{budget} - ({' + '.join(spent_terms)})"
+        parts.append(
+            _chain_epoch_blocks(
+                "depth", epochs, action_seq=plan, p=f"m{i}_",
+                budget=remaining, materialize=True,
+            )
+        )
+        spent_terms.extend(
+            f"(SELECT COUNT(*) FROM m{i}_ord{k})" for k in range(epochs)
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS plan_idx, seq, url, epoch FROM m{i}_ord{k}"
+        for i in range(len(plans))
+        for k in range(epochs)
+    )
     parts.append(f"""
 all_ord AS ({union})
-SELECT CAST(seq AS BIGINT) AS seq, url, CAST(epoch AS BIGINT) AS epoch
+SELECT CAST(plan_idx AS BIGINT) AS plan_idx, CAST(seq AS BIGINT) AS seq,
+       url, CAST(epoch AS BIGINT) AS epoch
 FROM all_ord""")
     return "\n".join(parts)
 
@@ -2530,6 +2669,9 @@ def oracle_sql() -> dict[str, str]:
         "plain", epochs=TTL_CRAWL_EPOCHS, ttl=TTL_EPOCHS
     )
     sqls["crawl_depth_indexed"] = _crawl_chain_sql("depth")
+    sqls["crawl_multiseq"] = _multiseq_sql(
+        MULTISEQ_PLANS, MULTISEQ_BUDGET, N_CRAWL_EPOCHS
+    )
     # crawl_epoch_oracle: one epoch of the engine's operator chain —
     # robots disallow, per-host quota = 20000 // (1000·(1+h%3)) FIFO
     # window, same-host link extract, first-wins dedup, seen anti-join,

@@ -268,3 +268,43 @@ def crawl_oracle(
         )
         res.epochs_run = epoch + 1
     return res
+
+
+def multiseq_oracle(
+    cfg: SynthConfig,
+    seeds: list,
+    robots: list,
+    planned: list,
+    budget: int,
+    paging_xpaths: set = frozenset(),
+    max_epochs: int = 10,
+    epoch_ms: int = 30_000,
+    **kw,
+) -> tuple:
+    """Sequential restatement of the multi-action-sequence budgeted
+    executor (``main.clj:264-287``, ``execute.clj:59-86``; the Spark
+    driver loop is ``crawler_spark.multiseq.execute_model_budget``):
+    fold the ranked sequences under one shared budget — each sequence
+    crawls from the same seeds with a fresh blacklist and
+    ``max_pages = budget - spent`` (epoch-granular stop, the same rule
+    the engine applies), ``spent`` grows by ``|visited|``, sequences
+    reached after exhaustion are skipped (``None`` placeholder).
+    Returns ``(runs, budget_spent)`` where runs[i] is the i-th
+    sequence's OracleResult or None."""
+    runs: list = []
+    spent = 0
+    for actions in planned:
+        if budget - spent <= 0:
+            runs.append(None)
+            continue
+        r = crawl_oracle(
+            cfg, seeds, robots,
+            max_epochs=max_epochs, epoch_ms=epoch_ms,
+            max_pages=budget - spent,
+            model_action_seq=list(actions),
+            paging_xpaths=set(paging_xpaths),
+            **kw,
+        )
+        spent += len(r.crawl_order)
+        runs.append(r)
+    return runs, spent
