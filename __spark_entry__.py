@@ -1004,6 +1004,11 @@ DEPTH_ACTION_SEQ = ("xp2", "xp1")
 # href path contains token '39' are outside the refined plan — kills the
 # 19→39 content hop while the paging chain survives
 REFINE_AVOID = (("xp2", ("39",)),)
+# :only refinement for the only-restricted harvest twin (dom.clj:603-615):
+# xpath xp0 keeps ONLY hrefs whose path carries token '75' — the 15→75
+# paging hop survives, the 75→315 hop is restricted away, xp2 content
+# links pass through untouched (a restriction, not a blanket drop)
+REFINE_ONLY_Q = (("xp0", ("75",)),)
 # digit-anchor override: links (doc ≡ 15 mod 60, j=2) get digit text so
 # the paging queue is non-vacuous on same-host links (the base text
 # rule (doc+j)%6==0 never coincides with the same-host residues)
@@ -1262,6 +1267,22 @@ def q_crawl_multiseq(spark, sf_dir):
         F.col("seq").cast("long").alias("seq"),
         "url",
         F.col("epoch").cast("long").alias("epoch"),
+    )
+
+
+def q_crawl_harvest_only(spark, sf_dir):
+    """E3 harvest + learned :only refinement (dom.clj:603-615
+    restricted-to-only, applied before :avoid in the refined
+    evaluation), DRIVER-ORACLED: same 3-epoch chain as crawl_harvest,
+    but xpath xp0 candidates KEEP only hrefs whose path carries token
+    '75' — the crawl loses the 75→315 paging hop while the 15→75 hop
+    and all xp2 content links survive (non-vacuous vs crawl_harvest,
+    and a genuine restriction rather than an avoid-style drop). Exact
+    parity gate: tests/test_cli.py::test_refine_only_parity."""
+    return _harvest_engine(
+        spark, sf_dir,
+        model_xpaths=HARVEST_MODEL_XP, paging_xpaths=HARVEST_PAGING_XP,
+        refine_only=REFINE_ONLY_Q,
     )
 
 
@@ -1619,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_ttl": q_crawl_ttl,
         "crawl_depth_indexed": q_crawl_depth_indexed,
         "crawl_multiseq": q_crawl_multiseq,
+        "crawl_harvest_only": q_crawl_harvest_only,
         "image_decode_stats": q_image_decode_stats,
         "image_neardup": q_image_neardup,
     }
@@ -1731,7 +1753,7 @@ def _chain_epoch_blocks(
     )
     depth_mode = mode == "depth"
     cand_filter = ""
-    if mode in ("harvest", "harvest_refined"):
+    if mode in ("harvest", "harvest_refined", "harvest_only"):
         pg = ", ".join(f"'{x}'" for x in HARVEST_PAGING_XP)
         md = ", ".join(f"'{x}'" for x in HARVEST_MODEL_XP)
         keep_paging = f"({is_digit} AND l.xpath IN ({pg}))"
@@ -1767,6 +1789,17 @@ def _chain_epoch_blocks(
             for tok in toks
         )
         cand_filter += f" AND NOT ({hits})"
+    if mode == "harvest_only":
+        # engine apply_refinement :only mirror (dom.clj:603-615): an
+        # xpath with a non-empty only-set KEEPS only hrefs whose path
+        # tokens (['p', tgt]) carry one of its tokens; other xpaths
+        # pass through
+        conds = " AND ".join(
+            f"(l.xpath != '{xp}' OR list_has_any(['p', "
+            f"CAST(l.tgt AS VARCHAR)], [{', '.join(chr(39) + t + chr(39) for t in toks)}]))"
+            for xp, toks in REFINE_ONLY_Q
+        )
+        cand_filter += f" AND ({conds})"
 
     # MATERIALIZED (multiseq only): each chain CTE is referenced many
     # times (seq bases, later chains' budget guards, the final union);
@@ -2672,6 +2705,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["crawl_multiseq"] = _multiseq_sql(
         MULTISEQ_PLANS, MULTISEQ_BUDGET, N_CRAWL_EPOCHS
     )
+    sqls["crawl_harvest_only"] = _crawl_chain_sql("harvest_only")
     # crawl_epoch_oracle: one epoch of the engine's operator chain —
     # robots disallow, per-host quota = 20000 // (1000·(1+h%3)) FIFO
     # window, same-host link extract, first-wins dedup, seen anti-join,

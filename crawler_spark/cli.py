@@ -241,14 +241,22 @@ def cmd_execute_model(args) -> int:
         r["src_xpath"] for r in model.get("pagination_xpaths", [])
         if r.get("src_xpath")
     )
-    # learned :avoid refinements ride the model JSON; only non-empty
-    # avoid lists matter at execution time
-    refine_avoid = ()
+    # learned refinements ride the model JSON; only non-empty token
+    # lists matter at execution time. :only restricts (keep links whose
+    # href path carries an only-token, dom.clj:603-615) and is applied
+    # before :avoid drops (dom.clj:617-631), as in the reference's
+    # refined evaluation.
+    refine_avoid, refine_only = (), ()
     if not args.no_refine:
         refine_avoid = tuple(
             (r["xpath"], tuple(r["avoid"]))
             for r in model.get("refinements", [])
             if r.get("avoid")
+        )
+        refine_only = tuple(
+            (r["xpath"], tuple(r["only"]))
+            for r in model.get("refinements", [])
+            if r.get("only")
         )
     if args.corpus:
         corpus = spark.read.parquet(args.corpus)
@@ -273,6 +281,7 @@ def cmd_execute_model(args) -> int:
         model_action_seq=actions if args.depth_indexed else None,
         paging_xpaths=paging,
         refine_avoid=refine_avoid,
+        refine_only=refine_only,
     )
     eng = CrawlEngine(spark, corpus, robots, cfg)
     seeds = [r.url for r in read_seed_list(spark, args.seeds).orderBy("ord").collect()]
@@ -288,6 +297,7 @@ def cmd_execute_model(args) -> int:
         "depth_indexed": bool(args.depth_indexed),
         "paging_xpaths": list(paging),
         "refine_avoid": [[xp, list(av)] for xp, av in refine_avoid],
+        "refine_only": [[xp, list(on)] for xp, on in refine_only],
         "harvested_leaves": harvested,
         "metrics": [r.asDict() for r in eng.metrics.collect()],
     }, default=str))

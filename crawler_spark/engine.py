@@ -132,6 +132,12 @@ class EngineConfig:
     # whose href contains an avoided token for their xpath are dropped
     # BEFORE the seen check. Shape: ((xpath, (tok, ...)), ...).
     refine_avoid: tuple = ()
+    # learned :only refinement (dom.clj:599-615 restricted-to-only,
+    # applied before :avoid): an xpath listed here keeps ONLY candidates
+    # whose href path carries at least one of its tokens — the
+    # reference's harder prune for pages where good links share a
+    # token. Same shape as refine_avoid; unlisted xpaths pass through.
+    refine_only: tuple = ()
     # log compaction threshold: when an append table's delta chain
     # exceeds this many commit dirs, the commit also writes a compacted
     # base (O(total), amortized over the chain) and prunes the chain
@@ -1010,16 +1016,21 @@ class CrawlEngine:
             cand_all = cand_all.filter(keep_paging | keep_content).withColumn(
                 "queue", F.when(keep_paging, F.lit("paging")).otherwise(F.lit("content"))
             )
-        if cfg.refine_avoid:
-            # learned :avoid refinement — dropped BEFORE the seen check
-            # and before the candidate count observation (not dups;
-            # outside the refined plan), mirroring the reference's
+        if cfg.refine_avoid or cfg.refine_only:
+            # learned refinement (:only restriction first, then :avoid,
+            # dom.clj:599-631) — dropped BEFORE the seen check and
+            # before the candidate count observation (not dups; outside
+            # the refined plan), mirroring the reference's
             # eval-anchor-xpath-refined extraction-time filter
             from .operators.xpath_model import apply_refinement
 
+            av, on = dict(cfg.refine_avoid), dict(cfg.refine_only)
             ref = spark.createDataFrame(
-                [(xp, list(av)) for xp, av in cfg.refine_avoid],
-                "xpath string, avoid array<string>",
+                [
+                    (xp, list(on.get(xp, ())), list(av.get(xp, ())))
+                    for xp in sorted(set(av) | set(on))
+                ],
+                "xpath string, only array<string>, avoid array<string>",
             )
             cand_all = apply_refinement(
                 cand_all, ref, xpath_col="src_xpath", href_col="url"

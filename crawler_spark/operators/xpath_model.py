@@ -280,20 +280,34 @@ def apply_refinement(
     xpath_col: str = "xpath",
     href_col: str = "href",
 ) -> DataFrame:
-    """Apply a learned :avoid refinement: drop links whose href contains
-    an avoided token for their xpath (dom.clj:520-643 eval-refined).
-    Column names are parameterized so the engine's candidate stream
-    (src_xpath/url) reuses the same operator."""
-    r = refinement.select(F.col("xpath").alias(xpath_col), "avoid")
+    """Apply a learned refinement (dom.clj:599-643 eval-refined): the
+    reference first RESTRICTS to :only matches when an xpath has a
+    non-empty :only set (dom.clj:603-615 restricted-to-only — a link
+    must carry at least one only-token), then drops :avoid hits
+    (dom.clj:617-631 restrict-avoid). ``refinement`` carries an
+    ``avoid`` array column and optionally an ``only`` array column;
+    xpaths absent from the table pass through untouched. Column names
+    are parameterized so the engine's candidate stream (src_xpath/url)
+    reuses the same operator. Both filters are broadcast-join + codegen
+    ``exists()`` predicates — the candidate side never shuffles."""
+    has_only = "only" in refinement.columns
+    cols = ["only", "avoid"] if has_only else ["avoid"]
+    r = refinement.select(F.col("xpath").alias(xpath_col), *cols)
     joined = links.join(F.broadcast(r), xpath_col, "left")
     path_toks = F.split(
         F.regexp_replace(href_col, "^[a-zA-Z]+://[^/]*/", ""), "/"
     )
-    hit = F.exists(
+    keep = ~F.exists(
         F.coalesce(F.col("avoid"), F.array()),
         lambda a: F.array_contains(path_toks, a),
     )
-    return joined.filter(~hit).drop("avoid")
+    if has_only:
+        only = F.coalesce(F.col("only"), F.array())
+        keep = keep & (
+            (F.size(only) == 0)
+            | F.exists(only, lambda t: F.array_contains(path_toks, t))
+        )
+    return joined.filter(keep).drop(*cols)
 
 
 def yield_estimate(links: DataFrame, leaf_paths: DataFrame) -> DataFrame:

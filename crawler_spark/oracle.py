@@ -66,6 +66,7 @@ def crawl_oracle(
     paging_xpaths: set = frozenset(),
     model_action_seq: list | None = None,
     refine_avoid: dict | None = None,
+    refine_only: dict | None = None,
     recrawl_ttl_epochs: int | None = None,
 ) -> OracleResult:
     import re
@@ -237,12 +238,18 @@ def crawl_oracle(
                     queue = "paging" if is_paging else "content"
                 else:
                     queue = "paging" if is_digit else "content"
-                if refine_avoid:
-                    # learned :avoid refinement — dropped before the seen
-                    # check (engine apply_refinement mirror: URL path
-                    # tokens after scheme://host/)
-                    av = refine_avoid.get(link["xpath"], ())
+                if refine_only or refine_avoid:
+                    # learned refinement — dropped before the seen check
+                    # (engine apply_refinement mirror: URL path tokens
+                    # after scheme://host/). :only restriction first
+                    # (dom.clj:603-615): an xpath with an only-set keeps
+                    # only hrefs carrying one of its tokens; then :avoid
+                    # (dom.clj:617-631) drops avoid-token hits.
                     toks = re.sub(r"^[a-zA-Z]+://[^/]*/", "", cu).split("/")
+                    on = (refine_only or {}).get(link["xpath"], ())
+                    if on and not any(t in on for t in toks if t):
+                        continue
+                    av = (refine_avoid or {}).get(link["xpath"], ())
                     if any(t in av for t in toks if t):
                         continue
                 if cu in res.url_seen:

@@ -203,6 +203,82 @@ def test_execute_model_refinement_parity(spark, tmp_path):
     corpus.unpersist()
 
 
+def test_refine_only_parity(spark, tmp_path):
+    """Learned :only refinement (dom.clj:603-615 restricted-to-only,
+    applied BEFORE :avoid in the reference's refined evaluation): an
+    xpath with a non-empty only-set keeps ONLY candidates whose href
+    path carries one of its tokens. Engine and sequential oracle must
+    agree exactly; the only-set must be a genuine RESTRICTION (it
+    changes the crawl vs unrefined, but keeps more than dropping the
+    xpath outright would); and only+avoid composed must stay exact."""
+    from crawler_spark.engine import CrawlEngine, EngineConfig
+    from crawler_spark.oracle import crawl_oracle
+    from crawler_spark.schema import ROBOTS_SCHEMA
+    from crawler_spark.synth import (
+        XPATHS, SynthConfig, corpus_df, robots_rows, seed_urls,
+    )
+
+    cfg = SynthConfig(n_pages=400, n_hosts=8, with_images=False)
+    corpus = corpus_df(spark, cfg).persist()
+    corpus.count()
+    robots = spark.createDataFrame(robots_rows(cfg), ROBOTS_SCHEMA)
+    seeds = seed_urls(cfg, 4)
+    actions, paging = tuple(XPATHS[:3]), tuple(XPATHS[3:5])
+    only = ((XPATHS[0], ("3", "5")),)
+    base = dict(max_epochs=4, epoch_ms=8000, leaf_limit=60,
+                model_xpaths=actions, paging_xpaths=paging)
+    obase = dict(max_epochs=4, epoch_ms=8000, leaf_limit=60,
+                 model_xpaths=set(actions), paging_xpaths=set(paging))
+    eng = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(checkpoint_dir=str(tmp_path / "ck_only"),
+                     refine_only=only, **base),
+    )
+    eng.run(seeds)
+    oracle = crawl_oracle(
+        cfg, seeds, robots_rows(cfg),
+        refine_only={xp: set(toks) for xp, toks in only}, **obase,
+    )
+    got = [(r.seq, r.url, r.epoch) for r in eng.crawl_order.collect()]
+    want = [(s, u, e) for (s, u, e, _h) in oracle.crawl_order]
+    assert len(got) > 10, "only-restricted harvest should still expand"
+    assert got == want
+    assert {r.url for r in eng.url_seen.collect()} == oracle.url_seen
+
+    # non-vacuous restriction: changes the crawl vs unrefined...
+    unrefined = crawl_oracle(cfg, seeds, robots_rows(cfg), **obase)
+    assert oracle.url_seen != unrefined.url_seen, "only set never fired"
+    # ...but keeps MORE than deleting the xpath from the model would
+    # (a blanket drop would make :only indistinguishable from :avoid-all)
+    without = crawl_oracle(
+        cfg, seeds, robots_rows(cfg),
+        **{**obase, "model_xpaths": set(actions) - {XPATHS[0]}},
+    )
+    assert oracle.url_seen != without.url_seen, (
+        "only set dropped every link of its xpath — not a restriction"
+    )
+
+    # only + avoid composed (reference order: only first, then avoid)
+    avoid = ((XPATHS[1], ("2",)),)
+    eng2 = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(checkpoint_dir=str(tmp_path / "ck_both"),
+                     refine_only=only, refine_avoid=avoid, **base),
+    )
+    eng2.run(seeds)
+    oracle2 = crawl_oracle(
+        cfg, seeds, robots_rows(cfg),
+        refine_only={xp: set(toks) for xp, toks in only},
+        refine_avoid={xp: set(toks) for xp, toks in avoid}, **obase,
+    )
+    got2 = [(r.seq, r.url, r.epoch) for r in eng2.crawl_order.collect()]
+    want2 = [(s, u, e) for (s, u, e, _h) in oracle2.crawl_order]
+    assert got2 == want2
+    assert {r.url for r in eng2.url_seen.collect()} == oracle2.url_seen
+    assert oracle2.url_seen != oracle.url_seen, "avoid never fired on top"
+    corpus.unpersist()
+
+
 def test_depth_indexed_action_sequence_parity(spark, tmp_path):
     """Depth-indexed plans (reference xpath-to-pick, crawl.clj:200-202):
     a page at plan depth d follows ONLY model_action_seq[d]; pages past
