@@ -182,6 +182,94 @@ def signature_cosine(sig_a: DataFrame, sig_b: DataFrame) -> DataFrame:
     )
 
 
+def signature_sims(
+    links: DataFrame,
+    pairs: DataFrame,
+    ins_cost: float = 1.0,
+    del_cost: float = 1.0,
+) -> DataFrame:
+    """C5 complete: ALL five signature similarities of the reference
+    (page.clj:15-154) per requested page pair, plus the combined score.
+
+    signature = sparse map xpath → href count (page-signature,
+    page.clj:79-84). Per pair (pa, pb):
+
+    * cosine       — Σ va·vb / (‖va‖₂·‖vb‖₂) (page.clj:24-42)
+    * cardinality  — |keys∩| / (√|keys a|·√|keys b|) (page.clj:15-22)
+    * combined     — cosine × cardinality (signature-similarity,
+      page.clj:99-104)
+    * manhattan    — Σ va·vb / (‖va‖₁·‖vb‖₁). The reference's own
+      function (page.clj:44-58) is broken: its norm terms thread the
+      `second` FUNCTION into Math/pow (`#(-> second (Math/pow 2))`)
+      instead of applying it, so it can never have produced the L1
+      normalization its name promises. This implements the evident
+      intent (cosine numerator over L1 norms); the latent bug is
+      documented here for parity auditing.
+    * weighted_cosine — cosine of w-scaled counts with the reference's
+      global weights table w(xpath) = ln(#hrefs(xpath)) / df(xpath)
+      (weights-table page.clj:86-97, applied page.clj:60-75)
+    * edit_sim     — 1 − edit/worst with edit = Σ del·max(0, va−vb) +
+      Σ ins·max(0, vb−va) over the key union and worst = del·Σva +
+      ins·Σvb (page.clj:106-154)
+
+    ``pairs`` (pa, pb) bounds the pair set up front — the same
+    candidates-first discipline as detect_pagination: an unbounded
+    self-join on xpath keys is O(P²) on templated sites. One exploded
+    full-outer alignment per pair, one aggregation — no dense vectors,
+    no per-row Python."""
+    sig = links.groupBy(F.col("page_url").alias("pid"), "xpath").agg(
+        F.count("*").alias("n")
+    )
+    # reference weights-table: ln(global href count) / global page df
+    w = links.groupBy("xpath").agg(
+        (F.log(F.count("*")) / F.countDistinct("page_url")).alias("w")
+    )
+    a = (
+        pairs.join(sig, pairs["pa"] == sig["pid"])
+        .select("pa", "pb", F.col("xpath").alias("k"), F.col("n").alias("va"))
+    )
+    b = (
+        pairs.join(sig, pairs["pb"] == sig["pid"])
+        .select("pa", "pb", F.col("xpath").alias("k"), F.col("n").alias("vb"))
+    )
+    full = a.join(b, ["pa", "pb", "k"], "full_outer").join(
+        F.broadcast(w.withColumnRenamed("xpath", "k")), "k", "left"
+    )
+    va = F.coalesce(F.col("va"), F.lit(0)).cast("double")
+    vb = F.coalesce(F.col("vb"), F.lit(0)).cast("double")
+    agg = full.groupBy("pa", "pb").agg(
+        F.sum(va * vb).alias("dot"),
+        F.sum(va * va).alias("na2"),
+        F.sum(vb * vb).alias("nb2"),
+        F.sum(va).alias("l1a"),
+        F.sum(vb).alias("l1b"),
+        F.count(F.col("va")).alias("ka"),
+        F.count(F.col("vb")).alias("kb"),
+        F.count(F.when(F.col("va").isNotNull() & F.col("vb").isNotNull(), 1)).alias("inter"),
+        F.sum(va * vb * F.col("w") * F.col("w")).alias("dotw"),
+        F.sum(va * va * F.col("w") * F.col("w")).alias("naw2"),
+        F.sum(vb * vb * F.col("w") * F.col("w")).alias("nbw2"),
+        F.sum(F.greatest(va - vb, F.lit(0.0))).alias("del_"),
+        F.sum(F.greatest(vb - va, F.lit(0.0))).alias("ins_"),
+    )
+    cosine = F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2"))
+    cardinality = F.col("inter") / (F.sqrt("ka") * F.sqrt("kb"))
+    return agg.select(
+        "pa",
+        "pb",
+        cosine.alias("cosine"),
+        cardinality.alias("cardinality"),
+        (cosine * cardinality).alias("combined"),
+        (F.col("dot") / (F.col("l1a") * F.col("l1b"))).alias("manhattan"),
+        (F.col("dotw") / (F.sqrt("naw2") * F.sqrt("nbw2"))).alias("weighted_cosine"),
+        (
+            F.lit(1.0)
+            - (F.lit(del_cost) * F.col("del_") + F.lit(ins_cost) * F.col("ins_"))
+            / (F.lit(del_cost) * F.col("l1a") + F.lit(ins_cost) * F.col("l1b"))
+        ).alias("edit_sim"),
+    )
+
+
 def detect_pagination(
     links: DataFrame, min_cosine: float = 0.6, canonicalize_hrefs: bool = False
 ) -> DataFrame:
@@ -246,6 +334,22 @@ def detect_pagination(
     )
 
 
+def token_incidence(labeled_links: DataFrame) -> DataFrame:
+    """Per-(xpath, href-path-token) good/bad incidence over labeled
+    links — the evidence table both refinement LEARNING (refine_xpaths)
+    and refinement RE-PROBING (reprobe_refinements, the fix-model pass)
+    aggregate from. labeled_links: (xpath, href, good boolean)."""
+    toks = labeled_links.select(
+        "xpath",
+        "good",
+        F.explode(F.split(F.regexp_replace("href", "^[a-zA-Z]+://[^/]*/", ""), "/")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return toks.groupBy("xpath", "tok").agg(
+        F.max(F.col("good").cast("int")).alias("in_good"),
+        F.max((~F.col("good")).cast("int")).alias("in_bad"),
+    )
+
+
 def refine_xpaths(labeled_links: DataFrame) -> DataFrame:
     """Refinement learning (:only/:avoid, dom.clj:942-1061): given links
     labeled good (muscle — lead to leaves) vs bad (fat), per xpath find
@@ -255,15 +359,7 @@ def refine_xpaths(labeled_links: DataFrame) -> DataFrame:
     The reference walks DOM node-name positions; the columnar analog
     discriminates on URL path segments — same shape: a broadcastable
     per-xpath filter table applied before enqueue."""
-    toks = labeled_links.select(
-        "xpath",
-        "good",
-        F.explode(F.split(F.regexp_replace("href", "^[a-zA-Z]+://[^/]*/", ""), "/")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    per = toks.groupBy("xpath", "tok").agg(
-        F.max(F.col("good").cast("int")).alias("in_good"),
-        F.max((~F.col("good")).cast("int")).alias("in_bad"),
-    )
+    per = token_incidence(labeled_links)
     return per.groupBy("xpath").agg(
         F.sort_array(
             F.collect_set(F.when((F.col("in_good") == 1) & (F.col("in_bad") == 0), F.col("tok")))
@@ -271,6 +367,98 @@ def refine_xpaths(labeled_links: DataFrame) -> DataFrame:
         F.sort_array(
             F.collect_set(F.when((F.col("in_bad") == 1) & (F.col("in_good") == 0), F.col("tok")))
         ).alias("avoid"),
+    )
+
+
+def strip_pagination_shadowed(
+    actions: DataFrame, paging: DataFrame
+) -> DataFrame:
+    """fix-model part 1 (reference remove-pagination-from-actions,
+    corpus.clj:409-438): an action whose xpath is ALSO a pagination
+    action is pagination in disguise — executing it as content would
+    double-walk the paging chain — so it leaves the content plan
+    (pagination refinements are trusted always, model.clj:49-50).
+
+    ``actions``: the learned content plan (xpath, ...); ``paging``:
+    pagination xpaths (src_xpath, ...). Pure relational statement:
+    a broadcast anti-join on the xpath. NOTE the reference's own
+    predicate uses ``some`` over paging actions where ``every?`` was
+    almost certainly intended (corpus.clj:426-437) — with 2+ paging
+    actions it keeps every action, because a sequence shadowed by one
+    paging action is never shadowed by the others too. This implements
+    the documented INTENT (strip if shadowed by ANY paging action); the
+    latent reference bug is noted here for parity auditing."""
+    return actions.join(
+        F.broadcast(paging.select(F.col("src_xpath").alias("xpath"))),
+        "xpath",
+        "left_anti",
+    )
+
+
+def reprobe_refinements(
+    model_refinements: DataFrame, labeled_links: DataFrame
+) -> DataFrame:
+    """fix-model part 2 (reference fix-model-restrictions-model-read,
+    model.clj:30-175): re-probe a model's learned :only/:avoid tokens
+    against the actually-crawled corpus and keep only tokens whose
+    evidence still holds — an :avoid token must still appear ONLY in
+    fat (non-leaf-leading) links of its xpath, an :only token ONLY in
+    muscle links. Tokens whose evidence flipped (or vanished — the
+    reference probes real pages, and a token no longer observed can't
+    justify a restriction) are dropped.
+
+    ``model_refinements``: (xpath, only array, avoid array) as learned
+    (possibly stale); ``labeled_links``: (xpath, href, good) from the
+    fixing crawl. Output: the same shape, cleaned. The probe is the
+    same token_incidence evidence refine_xpaths learns from, joined
+    against the model's claimed tokens — a pure relational statement
+    (explode → join → re-aggregate)."""
+    inc = token_incidence(labeled_links)
+    claimed = model_refinements.select(
+        "xpath",
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.coalesce(F.col("only"), F.array()),
+                    lambda t: F.struct(t.alias("tok"), F.lit("only").alias("kind")),
+                ),
+                F.transform(
+                    F.coalesce(F.col("avoid"), F.array()),
+                    lambda t: F.struct(t.alias("tok"), F.lit("avoid").alias("kind")),
+                ),
+            )
+        ).alias("c"),
+    ).select("xpath", F.col("c.tok").alias("tok"), F.col("c.kind").alias("kind"))
+    probed = claimed.join(inc, ["xpath", "tok"], "left").filter(
+        (
+            (F.col("kind") == "only")
+            & (F.col("in_good") == 1)
+            & (F.col("in_bad") == 0)
+        )
+        | (
+            (F.col("kind") == "avoid")
+            & (F.col("in_bad") == 1)
+            & (F.col("in_good") == 0)
+        )
+    )
+    regrouped = probed.groupBy("xpath").agg(
+        F.sort_array(
+            F.collect_set(F.when(F.col("kind") == "only", F.col("tok")))
+        ).alias("only"),
+        F.sort_array(
+            F.collect_set(F.when(F.col("kind") == "avoid", F.col("tok")))
+        ).alias("avoid"),
+    )
+    # xpaths whose every token failed the probe must survive with empty
+    # sets (the model still lists them; execution just won't restrict)
+    return (
+        model_refinements.select("xpath")
+        .join(regrouped, "xpath", "left")
+        .select(
+            "xpath",
+            F.coalesce(F.col("only"), F.array().cast("array<string>")).alias("only"),
+            F.coalesce(F.col("avoid"), F.array().cast("array<string>")).alias("avoid"),
+        )
     )
 
 

@@ -204,3 +204,41 @@ def test_crawl_ttl_oracle_is_nonvacuous():
     for u in recrawled:
         epochs = sorted(e for _, uu, e in rows if uu == u)
         assert epochs[-1] >= epochs[0] + entry.TTL_EPOCHS
+
+
+def test_signature_sims_hand_computed(spark):
+    """C5 all-five signature similarities (page.clj:15-154) against
+    hand-computed values: page 1 = {x:2, y:1}, page 2 = {y:2, z:1}."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.xpath_model import signature_sims
+
+    rows = (
+        [(1, "x", f"http://h/x{i}") for i in range(2)]
+        + [(1, "y", "http://h/y1")]
+        + [(2, "y", f"http://h/y{i}") for i in range(2, 4)]
+        + [(2, "z", "http://h/z1")]
+    )
+    links = spark.createDataFrame(rows, "page_url long, xpath string, href string")
+    pairs = spark.createDataFrame([(1, 2)], "pa long, pb long")
+    out = signature_sims(links, pairs).collect()
+    assert len(out) == 1
+    r = out[0]
+    # cosine: dot = 1·2 = 2 over √5·√5
+    assert abs(r.cosine - 0.4) < 1e-9
+    # cardinality: |{y}| / (√2·√2)
+    assert abs(r.cardinality - 0.5) < 1e-9
+    assert abs(r.combined - 0.2) < 1e-9
+    # manhattan (documented intent of the broken page.clj:44-58): 2/(3·3)
+    assert abs(r.manhattan - 2 / 9) < 1e-9
+    # edit: del = 2 (x), ins = 1 (y) + 1 (z); worst = 3 + 3
+    assert abs(r.edit_sim - (1 - 4 / 6)) < 1e-9
+    # weighted cosine with w = ln(global hrefs)/df: wx = ln2, wy = ln3/2,
+    # wz = ln1 = 0
+    wx, wy = math.log(2), math.log(3) / 2
+    dotw = 1 * 2 * wy * wy
+    naw = math.sqrt((2 * wx) ** 2 + wy**2)
+    nbw = math.sqrt((2 * wy) ** 2)
+    assert abs(r.weighted_cosine - dotw / (naw * nbw)) < 1e-9
