@@ -830,6 +830,38 @@ def q_signature_cosine_consec(spark, sf_dir):
     )
 
 
+def q_signature_sims(spark, sf_dir):
+    """C5 COMPLETE: all five reference signature similarities + the
+    combined score (page.clj:15-154) between consecutive pages
+    (docs < 300), ORACLED. The pair set is bounded up front (consecutive
+    ids, both pages with a non-empty signature) before any signature
+    math — no O(P²) self-join. operators/xpath_model.py:signature_sims
+    documents the reference's broken manhattan norm (page.clj:44-58)
+    and the implemented intent."""
+    from crawler_spark.operators.xpath_model import signature_sims
+
+    l = (
+        _links_df(spark, sf_dir)
+        .filter(~F.col("is_js") & (F.col("doc_id") < 300))
+        .select(F.col("doc_id").alias("page_url"), "xpath", "href")
+    )
+    ids = l.select(F.col("page_url").alias("pa")).distinct()
+    pairs = ids.join(
+        ids.select((F.col("pa") - 1).alias("pa"), F.col("pa").alias("pb")),
+        "pa",
+    )
+    out = signature_sims(l, pairs)
+    return out.select(
+        F.col("pa").alias("doc_id"),
+        F.round("cosine", 4).alias("cosine"),
+        F.round("cardinality", 4).alias("cardinality"),
+        F.round("combined", 4).alias("combined"),
+        F.round("manhattan", 4).alias("manhattan"),
+        F.round("weighted_cosine", 4).alias("weighted_cosine"),
+        F.round("edit_sim", 4).alias("edit_sim"),
+    )
+
+
 def q_connected_components(spark, sf_dir):
     """C6 single-linkage clustering as connected components over a
     deterministic edge list."""
@@ -1220,6 +1252,70 @@ def q_crawl_harvest_refined(spark, sf_dir):
         model_xpaths=HARVEST_MODEL_XP, paging_xpaths=HARVEST_PAGING_XP,
         refine_avoid=REFINE_AVOID,
     )
+
+
+# fix-model literals: a "learned" model to clean against the documents
+# graph. Actions xp0/xpnav are pagination-shadowed (they are paging
+# xpaths) → stripped. Refinement claims exercise every re-probe outcome
+# at sf0.01: evidence holds (xp1 only '196', avoid '36'; xp2 avoid
+# '39'), evidence flipped (xp1 only '26' is now bad-only; xp2 avoid
+# '119' is now good-only), evidence both-sided ('p' is in every href),
+# evidence vanished ('999' never observed).
+FIX_MODEL_ACTIONS = (("xp0", 30), ("xp1", 20), ("xp2", 10), ("xpnav", 5))
+FIX_MODEL_CLAIMS = (
+    ("xp1", ("196", "26"), ("36", "p", "999")),
+    ("xp2", (), ("39", "119")),
+)
+
+
+def q_fix_model(spark, sf_dir):
+    """fix-model (reference main.clj:232-246; corpus.clj:409-438
+    remove-pagination-from-actions + model.clj:30-175 restriction
+    re-probe), DRIVER-ORACLED as a pure relational statement: content
+    actions that are also pagination actions leave the plan (broadcast
+    anti-join), and the model's claimed :only/:avoid tokens are
+    re-probed against the graph's muscle/fat evidence (good = target
+    doc_id % 7 == 0) — kept only if still one-sided. Flat output rows
+    (xpath, kind, tok): kind='action' for surviving plan steps,
+    'only'/'avoid' for surviving tokens. E2E CLI flow incl. a tampered
+    model whose fixing changes the executed plan:
+    tests/test_cli.py::test_cli_fix_model."""
+    from crawler_spark.operators.xpath_model import (
+        reprobe_refinements,
+        strip_pagination_shadowed,
+    )
+
+    links = _links_df(spark, sf_dir).filter(
+        ~F.col("is_js") & ~F.col("nofollow")
+        & (F.col("tgt_host") == F.col("src_host"))
+    )
+    labeled = links.select(
+        "xpath", "href", (F.col("tgt") % 7 == 0).alias("good")
+    )
+    actions = spark.createDataFrame(
+        list(FIX_MODEL_ACTIONS), "xpath string, freq long"
+    )
+    paging = spark.createDataFrame(
+        [(x,) for x in HARVEST_PAGING_XP], "src_xpath string"
+    )
+    kept = strip_pagination_shadowed(actions, paging).select(
+        "xpath", F.lit("action").alias("kind"),
+        F.lit(None).cast("string").alias("tok"),
+    )
+    refs = spark.createDataFrame(
+        [(xp, list(on), list(av)) for xp, on, av in FIX_MODEL_CLAIMS],
+        "xpath string, only array<string>, avoid array<string>",
+    )
+    probed = reprobe_refinements(refs, labeled)
+    toks = probed.select(
+        "xpath", F.lit("only").alias("kind"), F.explode("only").alias("tok")
+    ).unionByName(
+        probed.select(
+            "xpath", F.lit("avoid").alias("kind"),
+            F.explode("avoid").alias("tok"),
+        )
+    )
+    return kept.unionByName(toks)
 
 
 # multi-action-sequence budgeted execution (main.clj:264-287): three
@@ -1641,6 +1737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_depth_indexed": q_crawl_depth_indexed,
         "crawl_multiseq": q_crawl_multiseq,
         "crawl_harvest_only": q_crawl_harvest_only,
+        "fix_model": q_fix_model,
+        "signature_sims": q_signature_sims,
         "image_decode_stats": q_image_decode_stats,
         "image_neardup": q_image_neardup,
     }
@@ -2706,6 +2804,38 @@ def oracle_sql() -> dict[str, str]:
         MULTISEQ_PLANS, MULTISEQ_BUDGET, N_CRAWL_EPOCHS
     )
     sqls["crawl_harvest_only"] = _crawl_chain_sql("harvest_only")
+    claims_vals = ", ".join(
+        f"('{xp}', '{kind}', '{tok}')"
+        for xp, on, av in FIX_MODEL_CLAIMS
+        for kind, toks in (("only", on), ("avoid", av))
+        for tok in toks
+    )
+    actions_vals = ", ".join(f"('{xp}')" for xp, _f in FIX_MODEL_ACTIONS)
+    paging_vals = ", ".join(f"('{xp}')" for xp in HARVEST_PAGING_XP)
+    sqls["fix_model"] = f"""
+        WITH {_LINKS_CTE.strip().lstrip('WITH').strip()},
+        labeled AS (
+          SELECT xpath, tgt, (tgt % 7 = 0) AS good FROM links2
+          WHERE NOT is_js AND NOT nofollow AND tgt_host = src_host),
+        inc AS (
+          SELECT xpath, tok,
+                 MAX(CASE WHEN good THEN 1 ELSE 0 END) AS in_good,
+                 MAX(CASE WHEN good THEN 0 ELSE 1 END) AS in_bad
+          FROM (SELECT xpath, good,
+                       unnest(['p', CAST(tgt AS VARCHAR)]) AS tok
+                FROM labeled)
+          GROUP BY 1, 2),
+        claims(xpath, kind, tok) AS (VALUES {claims_vals}),
+        actions(xpath) AS (VALUES {actions_vals}),
+        paging(xpath) AS (VALUES {paging_vals})
+        SELECT xpath, 'action' AS kind, CAST(NULL AS VARCHAR) AS tok
+        FROM actions WHERE xpath NOT IN (SELECT xpath FROM paging)
+        UNION ALL
+        SELECT c.xpath, c.kind, c.tok
+        FROM claims c JOIN inc i ON c.xpath = i.xpath AND c.tok = i.tok
+        WHERE (c.kind = 'only' AND i.in_good = 1 AND i.in_bad = 0)
+           OR (c.kind = 'avoid' AND i.in_bad = 1 AND i.in_good = 0)
+    """
     # crawl_epoch_oracle: one epoch of the engine's operator chain —
     # robots disallow, per-host quota = 20000 // (1000·(1+h%3)) FIFO
     # window, same-host link extract, first-wins dedup, seen anti-join,
@@ -2898,6 +3028,52 @@ def oracle_sql() -> dict[str, str]:
         FROM dots d
         JOIN norms na ON na.doc_id = d.doc_id
         JOIN norms nb ON nb.doc_id = d.doc_id + 1
+    """
+    sqls["signature_sims"] = f"""
+        WITH {_LINKS_CTE.strip().lstrip('WITH').strip()},
+        sig AS (SELECT doc_id, xpath, COUNT(*) AS n FROM links2
+                WHERE NOT is_js AND doc_id < 300 GROUP BY 1, 2),
+        w AS (SELECT xpath, ln(COUNT(*)) / COUNT(DISTINCT doc_id) AS w
+              FROM links2 WHERE NOT is_js AND doc_id < 300 GROUP BY 1),
+        ids AS (SELECT DISTINCT doc_id FROM sig),
+        pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+                  FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1),
+        sa AS (SELECT p.pa, p.pb, s.xpath AS k, s.n AS va
+               FROM pairs p JOIN sig s ON s.doc_id = p.pa),
+        sb AS (SELECT p.pa, p.pb, s.xpath AS k, s.n AS vb
+               FROM pairs p JOIN sig s ON s.doc_id = p.pb),
+        fullj AS (
+          SELECT coalesce(sa.pa, sb.pa) AS pa, coalesce(sa.pb, sb.pb) AS pb,
+                 coalesce(sa.k, sb.k) AS k, sa.va, sb.vb
+          FROM sa FULL OUTER JOIN sb
+            ON sa.pa = sb.pa AND sa.pb = sb.pb AND sa.k = sb.k),
+        fw AS (SELECT f.*, w.w FROM fullj f LEFT JOIN w ON w.xpath = f.k),
+        agg AS (
+          SELECT pa, pb,
+                 SUM(coalesce(va, 0) * coalesce(vb, 0)) AS dot,
+                 SUM(coalesce(va, 0) * coalesce(va, 0)) AS na2,
+                 SUM(coalesce(vb, 0) * coalesce(vb, 0)) AS nb2,
+                 SUM(coalesce(va, 0)) AS l1a,
+                 SUM(coalesce(vb, 0)) AS l1b,
+                 COUNT(va) AS ka, COUNT(vb) AS kb,
+                 COUNT(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
+                            THEN 1 END) AS inter,
+                 SUM(coalesce(va, 0) * coalesce(vb, 0) * w * w) AS dotw,
+                 SUM(coalesce(va, 0) * coalesce(va, 0) * w * w) AS naw2,
+                 SUM(coalesce(vb, 0) * coalesce(vb, 0) * w * w) AS nbw2,
+                 SUM(GREATEST(coalesce(va, 0) - coalesce(vb, 0), 0)) AS del_,
+                 SUM(GREATEST(coalesce(vb, 0) - coalesce(va, 0), 0)) AS ins_
+          FROM fw GROUP BY 1, 2)
+        SELECT pa AS doc_id,
+               round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cosine,
+               round(inter / (sqrt(ka) * sqrt(kb)), 4) AS cardinality,
+               round((dot / (sqrt(na2) * sqrt(nb2)))
+                     * (inter / (sqrt(ka) * sqrt(kb))), 4) AS combined,
+               round(dot / (CAST(l1a AS DOUBLE) * l1b), 4) AS manhattan,
+               round(dotw / (sqrt(naw2) * sqrt(nbw2)), 4) AS weighted_cosine,
+               round(1.0 - (del_ + ins_) / (CAST(l1a AS DOUBLE) + l1b), 4)
+                 AS edit_sim
+        FROM agg
     """
     letters = "abcdefghijklmnopqrstuvwxyz"
     cf = ", ".join(

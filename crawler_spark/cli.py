@@ -75,6 +75,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "sequence indexed by plan depth (reference "
                         "xpath-to-pick) instead of a flat set")
     e.add_argument("--master", default=None)
+
+    f = sub.add_parser(
+        "fix-model",
+        help="clean a learned model before execution (reference fix-model, "
+             "main.clj:232-246): strip pagination-shadowed content actions "
+             "and re-probe :only/:avoid refinements against the crawl's "
+             "own corpus",
+    )
+    f.add_argument("--model", required=True, help="model JSON from learn-model")
+    f.add_argument("--checkpoint", required=True,
+                   help="checkpoint of the crawl the model was learned from")
+    f.add_argument("--corpus", help="parquet corpus (omit → synthetic)")
+    f.add_argument("--synth-pages", type=int, default=2000)
+    f.add_argument("--synth-hosts", type=int, default=20)
+    f.add_argument("--out", required=True, help="output path for the fixed model")
+    f.add_argument("--master", default=None)
     return p
 
 
@@ -136,31 +152,61 @@ def cmd_crawl(args) -> int:
     return 0
 
 
+def _cli_corpus(spark, args):
+    from crawler_spark.synth import SynthConfig, corpus_df
+
+    if args.corpus:
+        return spark.read.parquet(args.corpus)
+    return corpus_df(
+        spark, SynthConfig(n_pages=args.synth_pages, n_hosts=args.synth_hosts,
+                           with_images=False)
+    )
+
+
+def _labeled_links(corpus, order):
+    """Muscle/fat link labeling over a finished crawl (dom.clj:942-1061,
+    model.clj:30-175): every link on a fetched page whose target was
+    also fetched, labeled good iff the target is a leaf; targets never
+    fetched are unknown and excluded. Hrefs are canonicalized against
+    their source page before joining the fetched-target table — relative
+    or fragment-bearing hrefs would never equal a canonical corpus url,
+    and execution applies refinement tokens to CANONICAL urls, so
+    learning (and the fix-model re-probe) must tokenize the same keys."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.canon import canonicalize_expr
+
+    fetched = corpus.join(order.select("url"), "url", "left_semi")
+    tgt = corpus.select(
+        F.col("url").alias("href"), F.col("is_leaf").alias("good")
+    ).join(order.select(F.col("url").alias("href")), "href", "left_semi")
+    return fetched, (
+        fetched.select("url", F.explode("out_links").alias("l"))
+        .select(
+            F.col("l.xpath").alias("xpath"),
+            canonicalize_expr(F.col("l.href"), F.col("url")).alias("href"),
+        )
+        .filter(F.col("href").isNotNull())
+        .join(tgt, "href")
+    )
+
+
 def cmd_learn_model(args) -> int:
     """Model = frequencies of leaf src-xpaths over the crawl (the learned
     model of the reference is exactly `frequencies` of leaf paths,
     crawl.clj:108) + pagination xpaths observed in the paging queue."""
-    import os
-
     from pyspark.sql import functions as F
 
-    from crawler_spark.synth import SynthConfig, corpus_df
-
     from crawler_spark.engine import read_state_tables
+    from crawler_spark.operators.xpath_model import refine_xpaths
 
     spark, owned = _session(args.master)
     tables = read_state_tables(
         spark, args.checkpoint, ["crawl_order", "frontier"]
     )
     order, frontier = tables["crawl_order"], tables["frontier"]
-    if args.corpus:
-        corpus = spark.read.parquet(args.corpus)
-    else:
-        corpus = corpus_df(
-            spark, SynthConfig(n_pages=args.synth_pages, n_hosts=args.synth_hosts,
-                               with_images=False)
-        )
-    fetched = corpus.join(order.select("url"), "url", "left_semi")
+    corpus = _cli_corpus(spark, args)
+    fetched, labeled = _labeled_links(corpus, order)
     leaf_links = (
         fetched.filter(F.col("is_leaf"))
         .select(F.explode("out_links").alias("l"))
@@ -173,32 +219,6 @@ def cmd_learn_model(args) -> int:
         .groupBy("src_xpath")
         .agg(F.count("*").alias("freq"))
         .orderBy(F.desc("freq"))
-    )
-    # refinement learning (dom.clj:942-1061, model.clj:30-175): label
-    # every crawled link muscle (target page is a leaf) vs fat (target
-    # fetched, not a leaf); targets never fetched are unknown and
-    # excluded. refine_xpaths then finds per-xpath URL path tokens that
-    # appear ONLY in fat links (:avoid) / only in muscle links (:only).
-    from crawler_spark.operators.xpath_model import refine_xpaths
-
-    from crawler_spark.canon import canonicalize_expr
-
-    tgt = corpus.select(
-        F.col("url").alias("href"), F.col("is_leaf").alias("good")
-    ).join(order.select(F.col("url").alias("href")), "href", "left_semi")
-    # canonicalize each href against its source page before joining the
-    # fetched-target table: relative / fragment-bearing hrefs would never
-    # equal a canonical corpus url, silently excluding those links from
-    # muscle/fat labeling — and execution applies avoid tokens to
-    # CANONICAL urls, so learning must tokenize the same keys
-    labeled = (
-        fetched.select("url", F.explode("out_links").alias("l"))
-        .select(
-            F.col("l.xpath").alias("xpath"),
-            canonicalize_expr(F.col("l.href"), F.col("url")).alias("href"),
-        )
-        .filter(F.col("href").isNotNull())
-        .join(tgt, "href")
     )
     refinements = [
         r.asDict() for r in refine_xpaths(labeled).orderBy("xpath").collect()
@@ -213,6 +233,91 @@ def cmd_learn_model(args) -> int:
     print(json.dumps({"written": args.out,
                       "n_leaf_xpaths": len(model["leaf_xpath_freqs"]),
                       "n_paging_xpaths": len(model["pagination_xpaths"])}))
+    if owned:
+        spark.stop()
+    return 0
+
+
+def cmd_fix_model(args) -> int:
+    """fix-model (reference fix-model, main.clj:232-246 — run by the
+    reference as execute-model-crawler's mandatory first step,
+    main.clj:199-201): clean a learned model before execution.
+
+    1. Strip pagination-shadowed content actions
+       (remove-pagination-from-actions, corpus.clj:409-438): a content
+       xpath that is also a pagination action leaves the plan —
+       pagination refinements are trusted always (model.clj:49-50).
+    2. Re-probe :only/:avoid refinement tokens against the crawl's own
+       corpus (fix-model-restrictions-model-read, model.clj:30-175):
+       keep a token only if its evidence still holds (avoid → still
+       only in fat links; only → still only in muscle links)."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.engine import read_state_tables
+    from crawler_spark.operators.xpath_model import (
+        reprobe_refinements,
+        strip_pagination_shadowed,
+    )
+
+    spark, owned = _session(args.master)
+    with open(args.model) as fh:
+        model = json.load(fh)
+    order = read_state_tables(spark, args.checkpoint, ["crawl_order"])[
+        "crawl_order"
+    ]
+    corpus = _cli_corpus(spark, args)
+    _fetched, labeled = _labeled_links(corpus, order)
+
+    actions = spark.createDataFrame(
+        [(r["xpath"], r["freq"]) for r in model["leaf_xpath_freqs"]] or
+        [("", 0)],
+        "xpath string, freq long",
+    )
+    if not model["leaf_xpath_freqs"]:
+        actions = actions.limit(0)
+    paging = spark.createDataFrame(
+        [(r["src_xpath"], r.get("freq", 0))
+         for r in model.get("pagination_xpaths", [])] or [("", 0)],
+        "src_xpath string, freq long",
+    )
+    if not model.get("pagination_xpaths"):
+        paging = paging.limit(0)
+    kept = strip_pagination_shadowed(actions, paging).orderBy(
+        F.desc("freq"), F.asc("xpath")
+    )
+    fixed_actions = [r.asDict() for r in kept.collect()]
+
+    fixed_refinements = model.get("refinements", [])
+    if fixed_refinements:
+        refs = spark.createDataFrame(
+            [
+                (r["xpath"], list(r.get("only", [])), list(r.get("avoid", [])))
+                for r in fixed_refinements
+            ],
+            "xpath string, only array<string>, avoid array<string>",
+        )
+        fixed_refinements = [
+            r.asDict()
+            for r in reprobe_refinements(refs, labeled).orderBy("xpath").collect()
+        ]
+
+    fixed = {
+        "fixed": True,
+        "leaf_xpath_freqs": fixed_actions,
+        "pagination_xpaths": model.get("pagination_xpaths", []),
+        "refinements": fixed_refinements,
+    }
+    with open(args.out, "w") as fh:
+        json.dump(fixed, fh, indent=2)
+    n_tok = lambda rs, k: sum(len(r.get(k, [])) for r in rs)  # noqa: E731
+    print(json.dumps({
+        "written": args.out,
+        "actions_stripped": len(model["leaf_xpath_freqs"]) - len(fixed_actions),
+        "only_tokens": [n_tok(model.get("refinements", []), "only"),
+                        n_tok(fixed_refinements, "only")],
+        "avoid_tokens": [n_tok(model.get("refinements", []), "avoid"),
+                         n_tok(fixed_refinements, "avoid")],
+    }))
     if owned:
         spark.stop()
     return 0
@@ -314,6 +419,8 @@ def main(argv=None) -> int:
         return cmd_learn_model(args)
     if args.cmd == "execute-model":
         return cmd_execute_model(args)
+    if args.cmd == "fix-model":
+        return cmd_fix_model(args)
     return 2
 
 

@@ -203,6 +203,92 @@ def test_execute_model_refinement_parity(spark, tmp_path):
     corpus.unpersist()
 
 
+def test_cli_fix_model(spark, tmp_path, capsys):
+    """fix-model e2e (reference fix-model, main.clj:232-246): crawl →
+    learn-model → tamper the model (a pagination-shadowed action + a
+    stale :avoid token whose evidence flipped + a token never observed)
+    → fix-model strips/drops exactly the bad parts, keeps the genuinely
+    learned ones, and executing the FIXED model runs a different plan
+    than executing the tampered model."""
+    seeds_file = tmp_path / "seeds.txt"
+    seeds_file.write_text("http://host0.test/p/0/img-42-00000000\n")
+    ck = tmp_path / "ck"
+    assert cli.main([
+        "crawl", "--seeds", str(seeds_file), "--checkpoint", str(ck),
+        "--synth-pages", "300", "--synth-hosts", "10",
+        "--epochs", "3", "--epoch-ms", "8000",
+    ]) == 0
+    capsys.readouterr()
+    model_path = tmp_path / "model.json"
+    assert cli.main([
+        "learn-model", "--checkpoint", str(ck),
+        "--synth-pages", "300", "--synth-hosts", "10",
+        "--out", str(model_path),
+    ]) == 0
+    capsys.readouterr()
+    model = json.loads(model_path.read_text())
+    assert model["pagination_xpaths"], "synth web grew no paging queue"
+    paging_xp = model["pagination_xpaths"][0]["src_xpath"]
+    # tamper 1: inject the paging xpath as the TOP content action —
+    # pagination in disguise, exactly what the strip must remove
+    top_freq = (model["leaf_xpath_freqs"][0]["freq"] + 100
+                if model["leaf_xpath_freqs"] else 100)
+    model["leaf_xpath_freqs"].insert(
+        0, {"xpath": paging_xp, "freq": top_freq}
+    )
+    # tamper 2: a stale avoid token that the corpus shows in GOOD links
+    # (evidence flipped) and one never observed — both must be dropped;
+    # the genuinely learned tokens must survive the re-probe
+    want_refs = {
+        r["xpath"]: (sorted(r["only"]), sorted(r["avoid"]))
+        for r in model["refinements"]
+    }
+    assert model["refinements"], "learned model carries no refinements"
+    model["refinements"][0] = dict(model["refinements"][0])
+    model["refinements"][0]["avoid"] = (
+        list(model["refinements"][0]["avoid"]) + ["never-seen-tok"]
+    )
+    tampered = tmp_path / "tampered.json"
+    tampered.write_text(json.dumps(model))
+
+    fixed_path = tmp_path / "fixed.json"
+    assert cli.main([
+        "fix-model", "--model", str(tampered), "--checkpoint", str(ck),
+        "--synth-pages", "300", "--synth-hosts", "10",
+        "--out", str(fixed_path),
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["actions_stripped"] >= 1
+    fixed = json.loads(fixed_path.read_text())
+    assert fixed["fixed"] is True
+    fixed_xps = [r["xpath"] for r in fixed["leaf_xpath_freqs"]]
+    assert paging_xp not in fixed_xps, "shadowed action survived the strip"
+    got_refs = {
+        r["xpath"]: (sorted(r["only"]), sorted(r["avoid"]))
+        for r in fixed["refinements"]
+    }
+    assert got_refs == want_refs, (
+        "re-probe should drop exactly the tampered token and keep the "
+        "genuinely learned evidence"
+    )
+
+    # executing tampered vs fixed runs a different plan: the tampered
+    # model's top action is the paging xpath, the fixed model's is not
+    ck2, ck3 = tmp_path / "ck2", tmp_path / "ck3"
+    for path, ckx in ((tampered, ck2), (fixed_path, ck3)):
+        assert cli.main([
+            "execute-model", "--model", str(path),
+            "--seeds", str(seeds_file), "--checkpoint", str(ckx),
+            "--synth-pages", "300", "--synth-hosts", "10",
+            "--epochs", "3", "--epoch-ms", "8000",
+            "--top-actions", "1", "--harvest-budget", "50",
+        ]) == 0
+    outs = capsys.readouterr().out.strip().splitlines()
+    runs = [json.loads(l) for l in outs if l.startswith("{")]
+    assert runs[0]["actions"] == [paging_xp]
+    assert runs[1]["actions"] != [paging_xp]
+
+
 def test_refine_only_parity(spark, tmp_path):
     """Learned :only refinement (dom.clj:603-615 restricted-to-only,
     applied BEFORE :avoid in the reference's refined evaluation): an
