@@ -1254,6 +1254,60 @@ def q_crawl_harvest_refined(spark, sf_dir):
     )
 
 
+EXEMPLAR_STEP_THRESH = 0.965
+
+
+def q_exemplar_step(spark, sf_dir):
+    """E2 exemplar-cluster sampling, ONE step DRIVER-ORACLED (reference
+    prepare-example, crawl.clj:532-629; engine mode
+    EngineConfig.exemplar_sampling): per target-host group of distinct
+    same-host link targets — seeded md5-order sample of max(10, n//4),
+    "download" (join to documents.text), single-linkage clusters over
+    char-freq cosine ≥ 0.965, cluster ids numbered by smallest url,
+    exemplar = each cluster's smallest url. The DuckDB twin restates the
+    sampling window, the 26-letter cosine, and the single-linkage
+    closure as a recursive CTE — gating the applyInPandas clustering
+    stage itself. Multi-epoch engine gate: tests/test_exemplar.py."""
+    from crawler_spark.exemplar import assign_exemplars
+    from crawler_spark.operators.dedup import md5_hash61
+
+    links = _links_df(spark, sf_dir).filter(
+        ~F.col("is_js") & ~F.col("nofollow")
+        & (F.col("tgt_host") == F.col("src_host")) & (F.col("doc_id") < 240)
+    )
+    tgts = links.select(
+        F.col("tgt_host").cast("string").alias("grp"),
+        F.col("href").alias("url"),
+        "tgt",
+    ).distinct()
+    w_g = Window.partitionBy("grp")
+    ranked = (
+        tgts.withColumn("__h", md5_hash61(F.col("url")))
+        .withColumn("__rn", F.row_number().over(w_g.orderBy("__h", "url")))
+        .withColumn("__n", F.count(F.lit(1)).over(w_g))
+    )
+    samp = ranked.filter(
+        F.col("__rn") <= F.greatest(F.lit(10), F.floor(F.col("__n") / 4))
+    )
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("tgt"), F.col("text").alias("caption")
+    )
+    dl = samp.join(d, "tgt").select(
+        F.col("grp").alias("src_url"),
+        F.lit("g").alias("src_xpath"),
+        "url",
+        "caption",
+        F.lit(None).cast("boolean").alias("is_leaf"),
+    )
+    out = assign_exemplars(dl, EXEMPLAR_STEP_THRESH)
+    return out.select(
+        F.col("src_url").cast("long").alias("host"),
+        "url",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "exemplar",
+    )
+
+
 # fix-model literals: a "learned" model to clean against the documents
 # graph. Actions xp0/xpnav are pagination-shadowed (they are paging
 # xpaths) → stripped. Refinement claims exercise every re-probe outcome
@@ -1739,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_harvest_only": q_crawl_harvest_only,
         "fix_model": q_fix_model,
         "signature_sims": q_signature_sims,
+        "exemplar_step": q_exemplar_step,
         "image_decode_stats": q_image_decode_stats,
         "image_neardup": q_image_neardup,
     }
@@ -2804,6 +2859,56 @@ def oracle_sql() -> dict[str, str]:
         MULTISEQ_PLANS, MULTISEQ_BUDGET, N_CRAWL_EPOCHS
     )
     sqls["crawl_harvest_only"] = _crawl_chain_sql("harvest_only")
+    _ex_letters = "abcdefghijklmnopqrstuvwxyz"
+    _ex_counts = ", ".join(
+        f"CAST(length(lower(text)) - length(replace(lower(text), '{ch}', ''))"
+        f" AS DOUBLE) AS c_{ch}"
+        for ch in _ex_letters
+    )
+    _ex_dot = " + ".join(f"a.c_{ch} * b.c_{ch}" for ch in _ex_letters)
+    _ex_na = " + ".join(f"a.c_{ch} * a.c_{ch}" for ch in _ex_letters)
+    _ex_nb = " + ".join(f"b.c_{ch} * b.c_{ch}" for ch in _ex_letters)
+    sqls["exemplar_step"] = f"""
+        WITH RECURSIVE {_LINKS_CTE.strip().lstrip('WITH').strip()},
+        tgts AS (
+          SELECT DISTINCT tgt_host AS grp, href AS url, tgt FROM links2
+          WHERE NOT is_js AND NOT nofollow AND tgt_host = src_host
+            AND doc_id < {N_CRAWL_DOCS}),
+        ranked AS (
+          SELECT grp, url, tgt,
+                 row_number() OVER (
+                   PARTITION BY grp
+                   ORDER BY {_H61.format(x='url')}, url) AS rn,
+                 COUNT(*) OVER (PARTITION BY grp) AS n
+          FROM tgts),
+        samp AS (SELECT grp, url, tgt FROM ranked
+                 WHERE rn <= GREATEST(10, n // 4)),
+        vec AS (
+          SELECT s.grp, s.url, {_ex_counts}
+          FROM samp s JOIN documents d ON d.doc_id = s.tgt),
+        pairs AS (
+          SELECT a.grp, a.url AS ua, b.url AS ub
+          FROM vec a JOIN vec b ON a.grp = b.grp AND a.url < b.url
+          WHERE ({_ex_dot}) / (sqrt({_ex_na}) * sqrt({_ex_nb}))
+                >= {EXEMPLAR_STEP_THRESH}),
+        edges AS (SELECT grp, ua, ub FROM pairs
+                  UNION ALL SELECT grp, ub AS ua, ua AS ub FROM pairs),
+        reach AS (
+          SELECT grp, url, url AS r FROM vec
+          UNION
+          SELECT e.grp, e.ua AS url, r.r
+          FROM edges e JOIN reach r ON r.grp = e.grp AND r.url = e.ub),
+        comp AS (SELECT grp, url, MIN(r) AS rep FROM reach GROUP BY 1, 2),
+        cid AS (
+          SELECT grp, rep,
+                 dense_rank() OVER (PARTITION BY grp ORDER BY rep) - 1
+                   AS cluster_id
+          FROM (SELECT DISTINCT grp, rep FROM comp))
+        SELECT CAST(c.grp AS BIGINT) AS host, c.url,
+               CAST(i.cluster_id AS BIGINT) AS cluster_id,
+               (c.url = c.rep) AS exemplar
+        FROM comp c JOIN cid i ON i.grp = c.grp AND i.rep = c.rep
+    """
     claims_vals = ", ".join(
         f"('{xp}', '{kind}', '{tok}')"
         for xp, on, av in FIX_MODEL_CLAIMS

@@ -37,6 +37,17 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--leaf-limit", type=int, default=None,
                    help="leaf budget (reference --num-leaves, default 300)")
     c.add_argument("--no-bloom", action="store_true")
+    c.add_argument("--exemplar", action="store_true",
+                   help="E2 exemplar-cluster sampling (reference "
+                        "prepare-example, crawl.clj:532-629): per "
+                        "(page, xpath) group sample max(10, n//4) "
+                        "links, cluster the sampled downloads by "
+                        "caption similarity, expand one exemplar per "
+                        "cluster — the learning crawl's sample-"
+                        "efficiency mode")
+    c.add_argument("--exemplar-threshold", type=float, default=0.95,
+                   help="char-freq cosine threshold for exemplar "
+                        "clustering")
     c.add_argument("--master", default=None)
 
     m = sub.add_parser("learn-model", help="derive the leaf-path model from a "
@@ -134,6 +145,8 @@ def cmd_crawl(args) -> int:
         leaf_limit=args.leaf_limit,
         use_bloom=not args.no_bloom,
         checkpoint_dir=args.checkpoint,
+        exemplar_sampling=args.exemplar,
+        exemplar_cosine_threshold=args.exemplar_threshold,
     )
     eng = CrawlEngine(spark, corpus, robots, cfg)
     if args.resume:
@@ -202,11 +215,20 @@ def cmd_learn_model(args) -> int:
 
     spark, owned = _session(args.master)
     tables = read_state_tables(
-        spark, args.checkpoint, ["crawl_order", "frontier"]
+        spark, args.checkpoint, ["crawl_order", "frontier", "samples"]
     )
     order, frontier = tables["crawl_order"], tables["frontier"]
     corpus = _cli_corpus(spark, args)
-    fetched, labeled = _labeled_links(corpus, order)
+    # E2: exemplar-mode samples were DOWNLOADED (crawl.clj:567-579) even
+    # when only their cluster exemplar was expanded — they are corpus
+    # evidence for leaf paths and refinement labeling exactly like
+    # crawled pages (:leaf-paths/:corpus, crawl.clj:605-624). On
+    # non-exemplar checkpoints the samples table is empty and this is
+    # the plain crawl_order evidence.
+    evidence = order.select("url").unionByName(
+        tables["samples"].select("url")
+    ).distinct()
+    fetched, labeled = _labeled_links(corpus, evidence)
     leaf_links = (
         fetched.filter(F.col("is_leaf"))
         .select(F.explode("out_links").alias("l"))

@@ -57,6 +57,7 @@ from .schema import (
     FRONTIER_SCHEMA,
     LINEAGE_SCHEMA,
     METRICS_SCHEMA,
+    SAMPLES_SCHEMA,
     URL_SEEN_SCHEMA,
 )
 from .seen import anti_join_seen, bucket_expr, build_segments
@@ -138,6 +139,20 @@ class EngineConfig:
     # reference's harder prune for pages where good links share a
     # token. Same shape as refine_avoid; unlisted xpaths pass through.
     refine_only: tuple = ()
+    # E2 exemplar-cluster sampling (reference prepare-example,
+    # crawl.clj:532-629 — the learning crawl's sample-efficiency trick):
+    # per (source page, xpath) group of seen-surviving candidates,
+    # seeded-sample max(10, n//4) links, "download" the sampled targets
+    # (corpus join on the canonical url; a miss = failed download),
+    # single-linkage-cluster them by caption char-frequency cosine, and
+    # enqueue ONE exemplar per cluster — every survivor still enters
+    # URL-seen (crawl.clj:625 :new-visited). Sampled rows land in the
+    # `samples` append table with cluster/exemplar/leaf labels (the
+    # model learner's :leaf-paths / :corpus evidence). Requires a
+    # corpus with a caption column. Costs one extra count job per epoch
+    # (the frontier-add counter can no longer ride the survivor count).
+    exemplar_sampling: bool = False
+    exemplar_cosine_threshold: float = 0.95
     # log compaction threshold: when an append table's delta chain
     # exceeds this many commit dirs, the commit also writes a compacted
     # base (O(total), amortized over the chain) and prunes the chain
@@ -169,7 +184,7 @@ class EngineConfig:
 
 _STATE_TABLES = (
     "frontier", "url_seen", "segments", "crawl_order", "lineage", "metrics",
-    "content_seen", "extracted",
+    "content_seen", "extracted", "samples",
 )
 
 # Commit-cost split (the Iceberg mapping, north_rule "merge-back with
@@ -184,6 +199,7 @@ _STATE_TABLES = (
 # TTL runs keep O(epoch-delta) commits too.
 _APPEND_TABLES = (
     "url_seen", "crawl_order", "lineage", "metrics", "content_seen", "extracted",
+    "samples",
 )
 _FULL_TABLES = ("frontier", "segments")
 
@@ -195,6 +211,7 @@ _TABLE_SCHEMAS = {
     "metrics": METRICS_SCHEMA,
     "content_seen": CONTENT_SEEN_SCHEMA,
     "extracted": EXTRACTED_SCHEMA,
+    "samples": SAMPLES_SCHEMA,
 }
 
 
@@ -661,6 +678,7 @@ class CrawlEngine:
             "metrics": spark.createDataFrame([], METRICS_SCHEMA),
             "content_seen": spark.createDataFrame([], CONTENT_SEEN_SCHEMA),
             "extracted": spark.createDataFrame([], EXTRACTED_SCHEMA),
+            "samples": spark.createDataFrame([], SAMPLES_SCHEMA),
         }
         self._manifest = {
             "epoch": -1, "next_seq": n_seeds, "dequeue_seq": 0, "leaves_fetched": 0,
@@ -1127,6 +1145,62 @@ class CrawlEngine:
             .cast("int")
             .alias("depth"),
         )
+        n_frontier_added = n_new
+        if cfg.exemplar_sampling:
+            # E2 (prepare-example, crawl.clj:532-629): seeded per-group
+            # sample → "download" (corpus join) → single-linkage cluster
+            # → one exemplar per cluster enters the frontier. Everything
+            # up to the clustering is codegen (window rank over the md5
+            # order + a broadcast of the sampled batch into the corpus
+            # scan, the same no-corpus-shuffle shape as the fetch join);
+            # the per-group union-find itself is the documented
+            # applyInPandas stage (crawler_spark/exemplar.py).
+            from .exemplar import assign_exemplars
+            from .operators.dedup import md5_hash61
+
+            w_grp = Window.partitionBy("src_url", "src_xpath")
+            ranked = (
+                survivors.withColumn("__h", md5_hash61(F.col("url")))
+                .withColumn(
+                    "__rn",
+                    F.row_number().over(w_grp.orderBy("__h", "url")),
+                )
+                .withColumn("__n", F.count(F.lit(1)).over(w_grp))
+            )
+            sampled = ranked.filter(
+                F.col("__rn")
+                <= F.greatest(F.lit(10), F.floor(F.col("__n") / 4))
+            ).select("src_url", "src_xpath", "url")
+            hits = self.corpus.select(
+                "url", "caption", "is_leaf"
+            ).join(F.broadcast(sampled), "url")
+            misses = sampled.join(
+                F.broadcast(hits.select("url")), "url", "left_anti"
+            ).select(
+                "src_url", "src_xpath", "url",
+                F.lit(None).cast("string").alias("caption"),
+                F.lit(None).cast("boolean").alias("is_leaf"),
+            )
+            assigned = assign_exemplars(
+                hits.select("src_url", "src_xpath", "url", "caption", "is_leaf")
+                .unionByName(misses),
+                cfg.exemplar_cosine_threshold,
+            )
+            assigned.persist()
+            self._append_state(
+                "samples",
+                assigned.select(
+                    F.lit(epoch).cast("int").alias("epoch"),
+                    "src_url", "src_xpath", "url", "cluster_id",
+                    "exemplar", "is_leaf",
+                ),
+            )
+            exemplar_urls = assigned.filter(F.col("exemplar")).select("url")
+            new_frontier_rows = new_frontier_rows.join(
+                F.broadcast(exemplar_urls), "url", "left_semi"
+            )
+            n_frontier_added = new_frontier_rows.count()
+            self._pending_unpersist.append(assigned)
         new_seen = survivors.select("partition_id", "url_hash", "url")
         if closure is not None:
             # canonical urls reached via redirect enter url_seen too —
@@ -1182,7 +1256,7 @@ class CrawlEngine:
             dequeue_seq=dequeue_seq + n_selected,
             leaves_fetched=self._manifest.get("leaves_fetched", 0) + n_leaves,
             neardups=self._manifest.get("neardups", 0) + n_neardup,
-            pending=n_pending - n_disallowed - n_selected + n_new,
+            pending=n_pending - n_disallowed - n_selected + n_frontier_added,
         )
         # persisted inputs stay cached until the next commit so deferred
         # state evaluation between commits never recomputes them
@@ -1292,3 +1366,10 @@ class CrawlEngine:
     @property
     def lineage(self) -> DataFrame:
         return self._state["lineage"]
+
+    @property
+    def samples(self) -> DataFrame:
+        """E2 sampling evidence (exemplar_sampling mode): one row per
+        downloaded sample with its structural cluster, exemplar flag,
+        and leaf label — the learner's :leaf-paths/:corpus input."""
+        return self._state["samples"].orderBy("epoch", "src_url", "src_xpath", "url")

@@ -49,6 +49,7 @@ class OracleResult:
     url_seen: set = field(default_factory=set)
     fetched: list = field(default_factory=list)  # corpus rows (dicts) in fetch order
     metrics: list = field(default_factory=list)  # per-epoch dicts
+    samples: list = field(default_factory=list)  # E2 sampling evidence dicts
     epochs_run: int = 0
 
 
@@ -68,6 +69,8 @@ def crawl_oracle(
     refine_avoid: dict | None = None,
     refine_only: dict | None = None,
     recrawl_ttl_epochs: int | None = None,
+    exemplar_sampling: bool = False,
+    exemplar_threshold: float = 0.95,
 ) -> OracleResult:
     import re
 
@@ -259,11 +262,44 @@ def crawl_oracle(
                 new_entries.append(
                     {"url": cu, "host": host_of(cu), "insertion_seq": next_seq,
                      "queue": queue, "src_xpath": link["xpath"],
+                     "src_url": page["url"],
                      "depth": entry.get("depth", 0)
                      + (0 if queue == "paging" else 1)}
                 )
                 next_seq += 1
                 enq_ct += 1
+        if exemplar_sampling and new_entries:
+            # E2 exemplar-cluster sampling (prepare-example,
+            # crawl.clj:532-629; engine mirror in run_epoch): per
+            # (source page, xpath) group — seeded sample max(10, n//4),
+            # "download" (by_url lookup; a miss clusters as -1), single-
+            # linkage cluster by caption char-freq cosine, ONE exemplar
+            # per cluster enters the frontier. Every survivor stays in
+            # URL-seen (already added above, :new-visited crawl.clj:625).
+            from . import exemplar as _ex
+
+            groups: dict = {}
+            for e in new_entries:
+                groups.setdefault((e["src_url"], e["src_xpath"]), []).append(e)
+            exemplar_urls: set = set()
+            for (src, xp), entries in sorted(groups.items()):
+                sampled = _ex.sample_urls([e["url"] for e in entries])
+                rows = [
+                    (u, (by_url[u]["caption"] if u in by_url else None))
+                    for u in sorted(sampled)
+                ]
+                assigned = _ex.cluster(rows, exemplar_threshold)
+                for u in sorted(sampled):
+                    cid, is_ex = assigned[u]
+                    pg = by_url.get(u)
+                    res.samples.append(dict(
+                        epoch=epoch, src_url=src, src_xpath=xp, url=u,
+                        cluster_id=cid, exemplar=is_ex,
+                        is_leaf=(bool(pg["is_leaf"]) if pg else None),
+                    ))
+                    if is_ex:
+                        exemplar_urls.add(u)
+            new_entries = [e for e in new_entries if e["url"] in exemplar_urls]
         frontier.extend(new_entries)
         leaves_total += leaves_ct
         neardups_total += neardup_ct

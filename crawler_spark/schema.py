@@ -131,6 +131,23 @@ LINEAGE_SCHEMA = T.StructType(
     ]
 )
 
+# E2 exemplar-sampling evidence (reference prepare-example downloads,
+# crawl.clj:567-629): one row per sampled ("downloaded") link — its
+# structural cluster within the (source page, xpath) group, whether it
+# was the cluster's exemplar (and thus entered the frontier), and the
+# leaf label the model learner consumes (:leaf-paths / :corpus).
+SAMPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch", T.IntegerType(), False),
+        T.StructField("src_url", T.StringType(), True),
+        T.StructField("src_xpath", T.StringType(), True),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("cluster_id", T.IntegerType(), False),
+        T.StructField("exemplar", T.BooleanType(), False),
+        T.StructField("is_leaf", T.BooleanType(), True),
+    ]
+)
+
 CRAWL_ORDER_SCHEMA = T.StructType(
     [
         T.StructField("seq", T.LongType(), False),
