@@ -1254,6 +1254,40 @@ def q_crawl_harvest_refined(spark, sf_dir):
     )
 
 
+def q_action_seq_yields(spark, sf_dir):
+    """Action-sequence yield map over the static link graph — the
+    relational statement of what learn-model's model JSON `action_seqs`
+    encodes (reference :actions, `(frequencies leaf-paths)` over
+    src-path, crawl.clj:108,200-202; plan_model ranks by these yields,
+    execute.clj:10-17). From seed docs (doc_id < 40), every 2-hop chain
+    of followable same-host links; per (first xpath, second xpath)
+    action pair: chain count and distinct-leaf yield (leaf rule:
+    tgt % 3 = 0). Two broadcastable equi-joins + one agg — the exact
+    learn-time shape, no engine loop. Multi-epoch BFS-semantics gates
+    live in tests/test_action_paths.py."""
+    l = _links_df(spark, sf_dir).filter(
+        ~F.col("is_js") & ~F.col("nofollow")
+        & (F.col("tgt_host") == F.col("src_host"))
+    )
+    hop1 = l.filter(F.col("doc_id") < 40).select(
+        F.col("xpath").alias("xp1"), F.col("tgt").alias("mid")
+    )
+    hop2 = l.select(
+        F.col("doc_id").alias("mid"), F.col("xpath").alias("xp2"),
+        F.col("tgt").alias("tgt2"),
+    )
+    return (
+        hop1.join(hop2, "mid")
+        .groupBy("xp1", "xp2")
+        .agg(
+            F.count(F.lit(1)).alias("n_chains"),
+            F.count_distinct(
+                F.when(F.col("tgt2") % 3 == 0, F.col("tgt2"))
+            ).alias("leaf_yield"),
+        )
+    )
+
+
 EXEMPLAR_STEP_THRESH = 0.965
 
 
@@ -1794,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_model": q_fix_model,
         "signature_sims": q_signature_sims,
         "exemplar_step": q_exemplar_step,
+        "action_seq_yields": q_action_seq_yields,
         "image_decode_stats": q_image_decode_stats,
         "image_neardup": q_image_neardup,
     }
@@ -2859,6 +2894,19 @@ def oracle_sql() -> dict[str, str]:
         MULTISEQ_PLANS, MULTISEQ_BUDGET, N_CRAWL_EPOCHS
     )
     sqls["crawl_harvest_only"] = _crawl_chain_sql("harvest_only")
+    sqls["action_seq_yields"] = f"""
+        WITH {_LINKS_CTE.strip().lstrip('WITH').strip()},
+        l AS (SELECT * FROM links2
+              WHERE NOT is_js AND NOT nofollow AND tgt_host = src_host),
+        hop1 AS (SELECT xpath AS xp1, tgt AS mid FROM l WHERE doc_id < 40),
+        hop2 AS (SELECT doc_id AS mid, xpath AS xp2, tgt AS tgt2 FROM l)
+        SELECT h1.xp1, h2.xp2,
+               COUNT(*) AS n_chains,
+               COUNT(DISTINCT CASE WHEN h2.tgt2 % 3 = 0 THEN h2.tgt2 END)
+                 AS leaf_yield
+        FROM hop1 h1 JOIN hop2 h2 ON h1.mid = h2.mid
+        GROUP BY h1.xp1, h2.xp2
+    """
     _ex_letters = "abcdefghijklmnopqrstuvwxyz"
     _ex_counts = ", ".join(
         f"CAST(length(lower(text)) - length(replace(lower(text), '{ch}', ''))"

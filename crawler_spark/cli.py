@@ -85,6 +85,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="treat the top-ranked xpaths as an ORDERED action "
                         "sequence indexed by plan depth (reference "
                         "xpath-to-pick) instead of a flat set")
+    e.add_argument("--multiseq", action="store_true",
+                   help="run the model's MANY learned action sequences "
+                        "(model JSON action_seqs, learned from crawl-"
+                        "order paths) ranked by plan_model (length asc, "
+                        "yield desc) through successive depth-indexed "
+                        "engine runs under ONE shared page budget — the "
+                        "reference's execute-model-budget-crawler loop "
+                        "(main.clj:247-305, execute.clj:50-86)")
+    e.add_argument("--budget", type=int, default=1000,
+                   help="shared page budget for --multiseq (reference "
+                        "--budget): decremented by each sequence's "
+                        "|visited|; an exhausted budget skips remaining "
+                        "sequences outright")
     e.add_argument("--master", default=None)
 
     f = sub.add_parser(
@@ -245,10 +258,29 @@ def cmd_learn_model(args) -> int:
     refinements = [
         r.asDict() for r in refine_xpaths(labeled).orderBy("xpath").collect()
     ]
+    # the model's :actions — frequencies of the full action PATH per
+    # crawled leaf page (crawl.clj:108 `(frequencies leaf-paths)` over
+    # src-path). These are the many action sequences execute-model
+    # --multiseq ranks (plan_model: length asc, yield desc) and folds
+    # through the shared-budget loop. Plan-ordered here for readability;
+    # plan_model re-sorts at execution anyway.
+    leaf_seq_rows = (
+        corpus.select("url", "is_leaf")
+        .join(F.broadcast(order.select("url", "path")), "url")
+        .filter(F.col("is_leaf") & (F.size("path") > 0))
+        .groupBy("path")
+        .agg(F.count("*").alias("freq"))
+        .collect()
+    )
+    action_seqs = sorted(
+        ({"actions": list(r.path), "yield": r.freq} for r in leaf_seq_rows),
+        key=lambda d: (len(d["actions"]), -d["yield"], tuple(d["actions"])),
+    )
     model = {
         "leaf_xpath_freqs": [r.asDict() for r in leaf_links.collect()],
         "pagination_xpaths": [r.asDict() for r in paging_xpaths.collect()],
         "refinements": refinements,
+        "action_seqs": action_seqs,
     }
     with open(args.out, "w") as f:
         json.dump(model, f, indent=2)
@@ -399,6 +431,57 @@ def cmd_execute_model(args) -> int:
             robots_rows(SynthConfig(n_pages=args.synth_pages, n_hosts=args.synth_hosts)),
             ROBOTS_SCHEMA,
         )
+    seeds = [r.url for r in read_seed_list(spark, args.seeds).orderBy("ord").collect()]
+    if args.multiseq:
+        # the reference's execute-model-budget-crawler (main.clj:247-305,
+        # execute.clj:50-86): rank ALL learned action sequences, fold
+        # them through depth-indexed engine runs under one shared page
+        # budget. Each sequence gets its own resumable checkpoint under
+        # --checkpoint/seq-NNN.
+        from crawler_spark.multiseq import execute_model_budget, plan_model
+
+        seqs = model.get("action_seqs") or []
+        if not seqs:
+            print(json.dumps({"error": "model has no action_seqs — "
+                              "re-run learn-model on a path-tracking "
+                              "checkpoint"}))
+            if owned:
+                spark.stop()
+            return 1
+        planned = plan_model(
+            [(tuple(r["actions"]), r["yield"]) for r in seqs]
+        )
+        res = execute_model_budget(
+            spark, corpus, robots, seeds, planned, paging,
+            budget=args.budget, checkpoint_root=args.checkpoint,
+            max_epochs=args.epochs, epoch_ms=args.epoch_ms,
+            leaf_limit=args.harvest_budget,
+            refine_avoid=refine_avoid, refine_only=refine_only,
+        )
+        order = res.crawl_order()
+        harvested = 0
+        if order is not None:
+            harvested = (
+                corpus.join(
+                    F.broadcast(order.select("url").distinct()),
+                    "url", "left_semi",
+                )
+                .filter(F.col("is_leaf"))
+                .count()
+            )
+        print(json.dumps({
+            "budget": res.budget,
+            "budget_spent": res.budget_spent,
+            "harvested_leaves": harvested,
+            "runs": [
+                {"actions": list(r.actions), "max_pages": r.max_pages,
+                 "visited": r.visited, "skipped": r.skipped}
+                for r in res.runs
+            ],
+        }, default=str))
+        if owned:
+            spark.stop()
+        return 0
     cfg = EngineConfig(
         max_epochs=args.epochs,
         epoch_ms=args.epoch_ms,
@@ -411,7 +494,6 @@ def cmd_execute_model(args) -> int:
         refine_only=refine_only,
     )
     eng = CrawlEngine(spark, corpus, robots, cfg)
-    seeds = [r.url for r in read_seed_list(spark, args.seeds).orderBy("ord").collect()]
     manifest = eng.run(seeds)
     harvested = (
         corpus.join(F.broadcast(eng.crawl_order.select("url")), "url", "left_semi")

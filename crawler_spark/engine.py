@@ -660,6 +660,7 @@ class CrawlEngine:
             "insertion_seq",
             F.lit("content").alias("queue"),
             F.lit(0).alias("depth"),
+            F.array().cast("array<string>").alias("path"),
         )
         n_seeds = frontier.count()
         url_seen = frontier.select(
@@ -891,9 +892,9 @@ class CrawlEngine:
         # their canonical page. alias_map streams; the batch broadcasts.
         # fetch: broadcast the quota-bounded batch into the corpus scan —
         # the corpus (10^10-row side) never shuffles
-        sel_urls = selected.select("seq", "url", "depth")
+        sel_urls = selected.select("seq", "url", "depth", "path")
         fetch_cols = ["seq", "requested_url", "url", "host", "out_links",
-                      "is_leaf", "depth"]
+                      "is_leaf", "depth", "path"]
         if cfg.track_content_dups:
             fetch_cols.append("caption")
         if self._alias_map is not None:
@@ -913,6 +914,7 @@ class CrawlEngine:
                 F.col("url").alias("__join_url"),
                 F.lit(0).alias("__prio"),
                 "depth",
+                "path",
             ).unionByName(
                 sel_urls.join(F.broadcast(am), "seq").select(
                     "seq",
@@ -920,6 +922,7 @@ class CrawlEngine:
                     F.col("final_url").alias("__join_url"),
                     F.lit(1).alias("__prio"),
                     "depth",
+                    "path",
                 )
             )
             w_prio = Window.partitionBy("seq").orderBy("__prio")
@@ -935,7 +938,8 @@ class CrawlEngine:
             )
         else:
             resolved = sel_urls.select(
-                "seq", F.col("url").alias("requested_url"), "url", "depth"
+                "seq", F.col("url").alias("requested_url"), "url", "depth",
+                "path",
             )
             fetched = self.corpus.join(F.broadcast(resolved), "url", "inner").select(
                 *fetch_cols
@@ -1144,6 +1148,12 @@ class CrawlEngine:
             .otherwise(F.col("src_depth") + 1)
             .cast("int")
             .alias("depth"),
+            # action path mirrors depth: content hops append their
+            # src_xpath (reference src-path conj, crawl.clj:200-202),
+            # paging hops keep the parent's — len(path) == depth
+            F.when(F.col("queue") == "paging", F.col("src_path"))
+            .otherwise(F.concat(F.col("src_path"), F.array(F.col("src_xpath"))))
+            .alias("path"),
         )
         n_frontier_added = n_new
         if cfg.exemplar_sampling:
@@ -1228,7 +1238,7 @@ class CrawlEngine:
             new_frontier_rows
         )
         order_rows = selected.select(
-            "seq", "url", F.lit(epoch).alias("epoch"), "host"
+            "seq", "url", F.lit(epoch).alias("epoch"), "host", "path"
         )
         self._append_state("crawl_order", order_rows)
         self._append_state(

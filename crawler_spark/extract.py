@@ -51,9 +51,10 @@ def extract_candidates(fetched: DataFrame, dedup: bool = True) -> DataFrame:
     processing would keep. ``dedup=False`` keeps every occurrence (the
     oracle's dup-counting semantics need the multiplicity).
     """
-    passthrough = (
-        [F.col("depth").alias("src_depth")] if "depth" in fetched.columns else []
-    )
+    pass_cols = [
+        c for c in ("depth", "path") if c in fetched.columns
+    ]  # engine frontier metadata riding through to the new frontier rows
+    passthrough = [F.col(c).alias(f"src_{c}") for c in pass_cols]
     links = fetched.select(
         F.col("seq").alias("src_seq"),
         F.col("url").alias("src_url"),
@@ -83,7 +84,7 @@ def extract_candidates(fetched: DataFrame, dedup: bool = True) -> DataFrame:
         "src_seq",
         "pos",
         "src_url",
-        *(["src_depth"] if passthrough else []),
+        *[f"src_{c}" for c in pass_cols],
         F.col("link.text").alias("src_text"),
         F.col("link.xpath").alias("src_xpath"),
         F.col("link_host").alias("host"),

@@ -50,6 +50,9 @@ class OracleResult:
     fetched: list = field(default_factory=list)  # corpus rows (dicts) in fetch order
     metrics: list = field(default_factory=list)  # per-epoch dicts
     samples: list = field(default_factory=list)  # E2 sampling evidence dicts
+    # action path per crawl_order row (same index): the xpath sequence
+    # that reached the page — reference src-path, crawl.clj:200-202
+    crawl_paths: list = field(default_factory=list)
     epochs_run: int = 0
 
 
@@ -107,7 +110,7 @@ def crawl_oracle(
         res.url_seen.add(cu)
         frontier.append(
             {"url": cu, "host": host_of(cu), "insertion_seq": next_seq,
-             "queue": "content", "depth": 0}
+             "queue": "content", "depth": 0, "path": ()}
         )
         next_seq += 1
 
@@ -187,6 +190,7 @@ def crawl_oracle(
         new_entries = []
         for entry in selected:  # already in ascending insertion_seq order
             res.crawl_order.append((dequeue_seq, entry["url"], epoch, entry["host"]))
+            res.crawl_paths.append(tuple(entry.get("path", ())))
             last_scheduled[entry["url"]] = epoch
             dequeue_seq += 1
             page = by_url.get(entry["url"]) or by_alias.get(entry["url"])
@@ -264,7 +268,9 @@ def crawl_oracle(
                      "queue": queue, "src_xpath": link["xpath"],
                      "src_url": page["url"],
                      "depth": entry.get("depth", 0)
-                     + (0 if queue == "paging" else 1)}
+                     + (0 if queue == "paging" else 1),
+                     "path": tuple(entry.get("path", ()))
+                     + (() if queue == "paging" else (link["xpath"],))}
                 )
                 next_seq += 1
                 enq_ct += 1

@@ -63,6 +63,16 @@ FRONTIER_SCHEMA = T.StructType(
         # action sequence BY this). Paging hops do not advance depth
         # (crawl.clj:525-528 keeps the parent's src-xpath on paging rows).
         T.StructField("depth", T.IntegerType(), False),
+        # action path: the ordered xpath sequence that reached this row
+        # (reference src-path, crawl.clj:200-202 — the model's :actions
+        # key is the frequency map of these). Content hops append their
+        # src_xpath; paging hops keep the parent's path, so
+        # len(path) == depth always. Seeds start at []. Scale note:
+        # bounded by depth (a handful of entries) and drawn from the
+        # tiny generalized-xpath vocabulary, so parquet dictionary
+        # encoding stores it as ints — same per-row cost the reference
+        # pays to keep src-path.
+        T.StructField("path", T.ArrayType(T.StringType(), False), False),
     ]
 )
 
@@ -154,5 +164,10 @@ CRAWL_ORDER_SCHEMA = T.StructType(
         T.StructField("url", T.StringType(), False),
         T.StructField("epoch", T.IntegerType(), False),
         T.StructField("host", T.StringType(), False),
+        # the frontier row's action path at dequeue time (see
+        # FRONTIER_SCHEMA.path) — learn-model's :actions evidence: the
+        # per-leaf frequency map over these IS the reference model's
+        # action-sequence set (crawl.clj:108)
+        T.StructField("path", T.ArrayType(T.StringType(), False), False),
     ]
 )

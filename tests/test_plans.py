@@ -93,3 +93,40 @@ def test_apply_refinement_is_broadcast_and_jvm(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "Exchange hashpartitioning" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_exemplar_stage_shapes(spark):
+    """The E2 exemplar pipeline's 100 TB contract: the sample "download"
+    broadcasts the (quota-bounded) sampled batch into the corpus scan —
+    the corpus side never shuffles — and the per-group clustering is
+    exactly ONE Arrow-batched applyInPandas stage whose only exchange is
+    the group-key hash of the tiny sampled batch."""
+    from crawler_spark.exemplar import assign_exemplars
+    from crawler_spark.plans import explain_str
+    from crawler_spark.synth import SynthConfig, corpus_df
+
+    corpus = corpus_df(spark, SynthConfig(n_pages=200, with_images=False))
+    sampled = corpus.limit(20).select(
+        F.lit("http://h.test/src").alias("src_url"),
+        F.lit("//div/a").alias("src_xpath"),
+        "url",
+    )
+    hits = corpus.select("url", "caption", "is_leaf").join(
+        F.broadcast(sampled), "url"
+    )
+    plan = explain_str(hits)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+    out = assign_exemplars(
+        hits.select("src_url", "src_xpath", "url", "caption", "is_leaf"), 0.9
+    )
+    plan2 = explain_str(out)
+    # formatted explain lists each node twice (tree + detail section) —
+    # count the detail headers: exactly ONE Arrow-batched group stage
+    import re
+
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan2)) == 1, plan2
+    # no row-at-a-time Python; the clustering is the ONLY Python stage
+    assert "BatchEvalPython" not in plan2, plan2
+    assert "ArrowEvalPython" not in plan2, plan2
