@@ -892,9 +892,9 @@ class CrawlEngine:
         # their canonical page. alias_map streams; the batch broadcasts.
         # fetch: broadcast the quota-bounded batch into the corpus scan —
         # the corpus (10^10-row side) never shuffles
-        sel_urls = selected.select("seq", "url", "depth", "path")
+        sel_urls = selected.select("seq", "url", "depth")
         fetch_cols = ["seq", "requested_url", "url", "host", "out_links",
-                      "is_leaf", "depth", "path"]
+                      "is_leaf", "depth"]
         if cfg.track_content_dups:
             fetch_cols.append("caption")
         if self._alias_map is not None:
@@ -914,7 +914,6 @@ class CrawlEngine:
                 F.col("url").alias("__join_url"),
                 F.lit(0).alias("__prio"),
                 "depth",
-                "path",
             ).unionByName(
                 sel_urls.join(F.broadcast(am), "seq").select(
                     "seq",
@@ -922,7 +921,6 @@ class CrawlEngine:
                     F.col("final_url").alias("__join_url"),
                     F.lit(1).alias("__prio"),
                     "depth",
-                    "path",
                 )
             )
             w_prio = Window.partitionBy("seq").orderBy("__prio")
@@ -938,8 +936,7 @@ class CrawlEngine:
             )
         else:
             resolved = sel_urls.select(
-                "seq", F.col("url").alias("requested_url"), "url", "depth",
-                "path",
+                "seq", F.col("url").alias("requested_url"), "url", "depth"
             )
             fetched = self.corpus.join(F.broadcast(resolved), "url", "inner").select(
                 *fetch_cols
@@ -1136,7 +1133,16 @@ class CrawlEngine:
             survivors_raw, ["src_seq", "pos"], "insertion_seq", next_seq, n_new
         )
 
-        new_frontier_rows = survivors.select(
+        # action paths re-attach HERE, not on the candidate stream: the
+        # parent's path is broadcast from the quota-bounded selected
+        # batch keyed by src_seq, so the (10^10-scale) link explosion,
+        # dedup shuffle, and Arrow seen probe never carry the array
+        sel_paths = selected.select(
+            F.col("seq").alias("src_seq"), F.col("path").alias("src_path")
+        )
+        new_frontier_rows = survivors.join(
+            F.broadcast(sel_paths), "src_seq"
+        ).select(
             "url", "url_hash", "host",
             "src_url", "src_text", "src_xpath",
             F.lit(epoch + 1).alias("epoch_added"),

@@ -51,9 +51,13 @@ def extract_candidates(fetched: DataFrame, dedup: bool = True) -> DataFrame:
     processing would keep. ``dedup=False`` keeps every occurrence (the
     oracle's dup-counting semantics need the multiplicity).
     """
-    pass_cols = [
-        c for c in ("depth", "path") if c in fetched.columns
-    ]  # engine frontier metadata riding through to the new frontier rows
+    # NOTE: depth rides the candidate stream (an int, and the harvest
+    # mode's depth-indexed filter needs it pre-seen-check); the action
+    # PATH deliberately does not — duplicating an array per exploded
+    # link row through the dedup shuffle and the Arrow seen probe is
+    # measurable waste, so the engine re-attaches paths to survivors
+    # with a broadcast join on src_seq against the quota-bounded batch.
+    pass_cols = [c for c in ("depth",) if c in fetched.columns]
     passthrough = [F.col(c).alias(f"src_{c}") for c in pass_cols]
     links = fetched.select(
         F.col("seq").alias("src_seq"),
