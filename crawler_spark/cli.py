@@ -355,11 +355,29 @@ def cmd_fix_model(args) -> int:
             for r in reprobe_refinements(refs, labeled).orderBy("xpath").collect()
         ]
 
+    # action SEQUENCES are stripped by the reference's shadowing rule
+    # (remove-pagination-from-actions, corpus.clj:409-438): a plan is
+    # removed when it does exactly what the pagination automaton already
+    # does. Under our executor — where pagination runs ALONGSIDE every
+    # executed plan — that collapses to dropping plans consisting
+    # SOLELY of pagination actions (a pure-pagination plan yields
+    # nothing the paging queue doesn't already chase); mixed plans keep
+    # their content value. Driver-side list math — the model JSON is
+    # tiny.
+    paging_set = {
+        r["src_xpath"] for r in model.get("pagination_xpaths", [])
+        if r.get("src_xpath")
+    }
+    fixed_seqs = [
+        s for s in model.get("action_seqs", [])
+        if not all(a in paging_set for a in s["actions"])
+    ]
     fixed = {
         "fixed": True,
         "leaf_xpath_freqs": fixed_actions,
         "pagination_xpaths": model.get("pagination_xpaths", []),
         "refinements": fixed_refinements,
+        "action_seqs": fixed_seqs,
     }
     with open(args.out, "w") as fh:
         json.dump(fixed, fh, indent=2)
@@ -367,6 +385,7 @@ def cmd_fix_model(args) -> int:
     print(json.dumps({
         "written": args.out,
         "actions_stripped": len(model["leaf_xpath_freqs"]) - len(fixed_actions),
+        "seqs_stripped": len(model.get("action_seqs", [])) - len(fixed_seqs),
         "only_tokens": [n_tok(model.get("refinements", []), "only"),
                         n_tok(fixed_refinements, "only")],
         "avoid_tokens": [n_tok(model.get("refinements", []), "avoid"),

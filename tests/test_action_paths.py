@@ -120,15 +120,43 @@ def test_learn_model_emits_action_seqs_and_multiseq_runs(
     ]) == 0
     capsys.readouterr()
     model = json.loads(model_path.read_text())
-    seqs = model["action_seqs"]
-    assert seqs, "no action sequences learned"
-    assert all(s["actions"] and s["yield"] > 0 for s in seqs)
-    assert any(len(s["actions"]) > 1 for s in seqs), "only 1-hop plans"
+    raw_seqs = model["action_seqs"]
+    assert raw_seqs, "no action sequences learned"
+    assert all(s["actions"] and s["yield"] > 0 for s in raw_seqs)
+    assert any(len(s["actions"]) > 1 for s in raw_seqs), "only 1-hop plans"
+
+    # fix-model carries action_seqs through, dropping pagination-
+    # shadowed plans (remove-pagination-from-actions analog) — the
+    # reference runs fix-model as execute-model's mandatory first step
+    fixed_path = tmp_path / "fixed.json"
+    assert cli.main([
+        "fix-model", "--model", str(model_path),
+        "--checkpoint", str(ck),
+        "--synth-pages", str(n_pages), "--synth-hosts", str(n_hosts),
+        "--out", str(fixed_path),
+    ]) == 0
+    capsys.readouterr()
+    fixed = json.loads(fixed_path.read_text())
+    seqs = fixed["action_seqs"]
+    assert seqs, "fix-model dropped every action sequence"
+    paging_set = {
+        r["src_xpath"] for r in fixed.get("pagination_xpaths", [])
+        if r.get("src_xpath")
+    }
+    # the strip is exactly the pure-pagination plans (shadowed outright
+    # — pagination runs alongside every executed plan)
+    pure_paging = [
+        s for s in raw_seqs if all(a in paging_set for a in s["actions"])
+    ]
+    assert len(seqs) == len(raw_seqs) - len(pure_paging)
+    assert all(
+        any(a not in paging_set for a in s["actions"]) for s in seqs
+    ), "a pure-pagination plan survived fix-model"
 
     budget = 12  # forces a mid-plan stop and (with several plans) skips
     ck2 = tmp_path / "ck2"
     assert cli.main([
-        "execute-model", "--model", str(model_path),
+        "execute-model", "--model", str(fixed_path),
         "--seeds", str(seeds_file), "--checkpoint", str(ck2),
         "--synth-pages", str(n_pages), "--synth-hosts", str(n_hosts),
         "--epochs", "4", "--epoch-ms", "8000",
@@ -145,7 +173,7 @@ def test_learn_model_emits_action_seqs_and_multiseq_runs(
     planned = plan_model([(tuple(s["actions"]), s["yield"]) for s in seqs])
     assert [tuple(r["actions"]) for r in out["runs"]] == planned
     paging = tuple(
-        r["src_xpath"] for r in model.get("pagination_xpaths", [])
+        r["src_xpath"] for r in fixed.get("pagination_xpaths", [])
         if r.get("src_xpath")
     )
     want_runs, want_spent = multiseq_oracle(
