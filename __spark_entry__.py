@@ -1288,6 +1288,155 @@ def q_action_seq_yields(spark, sf_dir):
     )
 
 
+# chain threshold chosen against the measured within-group cosine
+# distribution of the dedicated graph (0.84-0.97): at 0.90 some sibling
+# pairs merge and some split, so the recursive single-linkage closure is
+# exercised non-vacuously inside the chained hash gate
+EX_CHAIN_THRESH = 0.90
+
+
+def _exemplar_links_df(spark, sf_dir):
+    """Dedicated link graph for the exemplar-crawl chain: 6 same-host
+    links per page sharing only TWO xpaths, so each (page, xpath) group
+    holds ~3 siblings and the exemplar clustering genuinely prunes (the
+    standard crawl-chain graph has 4 links across 4 distinct xpaths —
+    every group is a singleton and sampling would be vacuous).
+    tgt = (d + 20·k) % 2n preserves host (20 | 2n at every sf); about
+    half the targets land ≥ the corpus bound and exercise the
+    failed-download path (cluster −1, never exemplar). Restated 1:1 by
+    _EX_LINKS_CTE. The (d%60=15, j=2) digit override is baked into the
+    text so the shared chain's is_digit stays truthful."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    j = F.explode(F.array(*[F.lit(x) for x in range(6)])).alias("j")
+    d = docs.select("doc_id", j)
+    kk = (F.floor(F.col("doc_id") / 20) + 3 * F.col("j") + 1) % 23 + 1
+    out = d.select(
+        "doc_id",
+        (F.col("doc_id") % N_HOSTS).alias("src_host"),
+        "j",
+        ((F.col("doc_id") + 20 * kk) % (2 * n)).cast("long").alias("tgt"),
+    )
+    out = out.withColumn("tgt_host", F.col("tgt") % N_HOSTS)
+    out = out.withColumn(
+        "is_js", (F.col("doc_id") * 5 + F.col("j")) % 17 == 0
+    ).withColumn("nofollow", (F.col("doc_id") * 3 + F.col("j")) % 11 == 0)
+    out = out.withColumn(
+        "text",
+        F.when(
+            ((F.col("doc_id") + F.col("j")) % 6 == 0)
+            | ((F.col("doc_id") % 60 == 15) & (F.col("j") == 2)),
+            ((F.col("doc_id") * 5 + F.col("j")) % 20 + 1).cast("string"),
+        ).otherwise(
+            F.concat(F.lit("w"), ((F.col("doc_id") + F.col("j")) % 50).cast("string"))
+        ),
+    ).withColumn(
+        "xpath",
+        F.concat(F.lit("xp"), ((F.col("doc_id") + F.col("j")) % 2).cast("string")),
+    )
+    return out.withColumn("href", _url_expr(F.col("tgt"), F.col("tgt_host")))
+
+
+_EX_LINKS_CTE = f"""
+links AS (
+  SELECT d.doc_id,
+         d.doc_id % {N_HOSTS} AS src_host,
+         j.j,
+         CAST((d.doc_id + 20 * ((d.doc_id // 20 + 3 * j.j + 1) % 23 + 1))
+              % (2 * (SELECT count(*) FROM documents)) AS BIGINT) AS tgt,
+         CAST((d.doc_id + 20 * ((d.doc_id // 20 + 3 * j.j + 1) % 23 + 1))
+              % (2 * (SELECT count(*) FROM documents)) AS BIGINT)
+           % {N_HOSTS} AS tgt_host,
+         ((d.doc_id * 5 + j.j) % 17 = 0) AS is_js,
+         ((d.doc_id * 3 + j.j) % 11 = 0) AS nofollow,
+         CASE WHEN (d.doc_id + j.j) % 6 = 0
+                   OR (d.doc_id % 60 = 15 AND j.j = 2)
+              THEN CAST((d.doc_id * 5 + j.j) % 20 + 1 AS VARCHAR)
+              ELSE 'w' || CAST((d.doc_id + j.j) % 50 AS VARCHAR) END AS text,
+         'xp' || CAST((d.doc_id + j.j) % 2 AS VARCHAR) AS xpath
+  FROM documents d, (VALUES (0), (1), (2), (3), (4), (5)) j(j)
+),
+links2 AS (
+  SELECT *, 'http://host' || CAST(tgt_host AS VARCHAR) || '.test/p/' || CAST(tgt AS VARCHAR) AS href
+  FROM links
+)
+"""
+
+
+def _exemplar_corpus(spark, sf_dir):
+    """CrawlEngine corpus for the exemplar chain: pages < N_CRAWL_DOCS
+    of the _exemplar_links_df graph, with the documents text as the
+    caption column the exemplar clustering consumes."""
+    links = _exemplar_links_df(spark, sf_dir).filter(
+        F.col("doc_id") < N_CRAWL_DOCS
+    )
+    link_struct = F.struct(
+        F.when(F.col("is_js"), F.lit("javascript:void(0)"))
+        .otherwise(F.col("href"))
+        .alias("href"),
+        F.col("text").alias("text"),
+        F.col("xpath").alias("xpath"),
+        F.col("nofollow").alias("nofollow"),
+    )
+    agg = links.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("j"), link_struct.alias("l")))),
+            lambda s: s["l"],
+        ).alias("out_links")
+    )
+    cap = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return agg.join(cap, "doc_id").select(
+        _url_expr(F.col("doc_id"), F.col("doc_id") % N_HOSTS).alias("url"),
+        F.concat(
+            F.lit("host"), (F.col("doc_id") % N_HOSTS).cast("string"), F.lit(".test")
+        ).alias("host"),
+        "out_links",
+        F.col("text").alias("caption"),
+        F.lit(False).alias("is_leaf"),
+    )
+
+
+def q_crawl_exemplar(spark, sf_dir):
+    """THREE engine epochs in E2 exemplar-sampling mode, DRIVER-ORACLED:
+    the REAL CrawlEngine with EngineConfig.exemplar_sampling — per
+    (page, xpath) group of seen-surviving candidates, seeded md5-order
+    sample of max(10, n//4), caption char-freq-cosine single-linkage
+    clustering of the sampled downloads, ONE exemplar per cluster enters
+    the frontier while every survivor enters URL-seen (prepare-example,
+    crawl.clj:532-629). The DuckDB twin chains the sampling window, the
+    26-letter cosine, and a per-epoch recursive-CTE single-linkage
+    closure through the full 3-epoch loop — the sampling/clustering
+    stage is hash-gated INSIDE the crawl, not just as a single step
+    (exemplar_step). Runs on a dedicated 6-link/2-xpath graph where
+    groups hold ~3 siblings (the standard chain graph would make every
+    group a singleton). Exact synth-web parity: tests/test_exemplar.py."""
+    import os
+    import tempfile
+
+    from crawler_spark.engine import CrawlEngine, EngineConfig
+
+    corpus = _exemplar_corpus(spark, sf_dir)
+    robots = _doc_robots(spark)
+    scratch = tempfile.mkdtemp(
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    eng = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(
+            max_epochs=N_CRAWL_EPOCHS, epoch_ms=CRAWL_EPOCH_MS,
+            checkpoint_dir=scratch, commit_every=4, detailed_metrics=False,
+            exemplar_sampling=True,
+            exemplar_cosine_threshold=EX_CHAIN_THRESH,
+        ),
+    )
+    eng.run(_crawl_seeds())
+    return eng.crawl_order.select(
+        F.col("seq").cast("long").alias("seq"),
+        "url",
+        F.col("epoch").cast("long").alias("epoch"),
+    )
+
+
 EXEMPLAR_STEP_THRESH = 0.965
 
 
@@ -1828,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_model": q_fix_model,
         "signature_sims": q_signature_sims,
         "exemplar_step": q_exemplar_step,
+        "crawl_exemplar": q_crawl_exemplar,
         "action_seq_yields": q_action_seq_yields,
         "image_decode_stats": q_image_decode_stats,
         "image_neardup": q_image_neardup,
@@ -1888,20 +2038,24 @@ FROM all_ord""")
     return "\n".join(parts)
 
 
-def _chain_header(materialize: bool = False) -> str:
+def _chain_header(materialize: bool = False, links_cte: str | None = None,
+                  recursive: bool = False) -> str:
     """Shared WITH header for every crawl-chain restatement: the link
     arithmetic + the seed frontier rows. ``materialize`` marks the
     shared CTEs MATERIALIZED — required by the multi-chain multiseq
     statement, where inlined re-expansion would re-open the documents
-    parquet once per reference and exhaust the fd limit."""
-    links = _LINKS_CTE.strip().lstrip("WITH").strip()
+    parquet once per reference and exhaust the fd limit. ``links_cte``
+    swaps in a different link graph (the exemplar chain's 6-link/
+    2-xpath variant); ``recursive`` emits WITH RECURSIVE (needed when
+    the chain embeds the single-linkage reach CTEs)."""
+    links = (links_cte or _LINKS_CTE).strip().lstrip("WITH").strip()
     if materialize:
         links = links.replace("links AS (", "links AS MATERIALIZED (", 1).replace(
             "links2 AS (", "links2 AS MATERIALIZED (", 1
         )
     mat = "MATERIALIZED " if materialize else ""
     return (
-        f"WITH {links},"
+        f"WITH {'RECURSIVE ' if recursive else ''}{links},"
         + f"""
 seeds AS {mat}(
   SELECT d.doc_id, d.doc_id % {N_HOSTS} AS host,
@@ -1915,6 +2069,28 @@ seeds AS {mat}(
     )
 
 
+_EXL = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _ex_vec_sql(txt: str) -> str:
+    """26 letter-count columns (c_a..c_z) of *txt* — the char-frequency
+    vector of crawler_spark/exemplar.py char_vec, integer-exact."""
+    return ", ".join(
+        f"CAST(length(lower({txt})) - length(replace(lower({txt}), '{ch}', ''))"
+        f" AS DOUBLE) AS c_{ch}"
+        for ch in _EXL
+    )
+
+
+def _ex_cos_sql(a: str, b: str) -> str:
+    """cosine({a}, {b}) over the c_a..c_z columns — same expression
+    shape as exemplar.cosine (dot / (sqrt·sqrt), IEEE-deterministic)."""
+    dot = " + ".join(f"{a}.c_{ch} * {b}.c_{ch}" for ch in _EXL)
+    na = " + ".join(f"{a}.c_{ch} * {a}.c_{ch}" for ch in _EXL)
+    nb = " + ".join(f"{b}.c_{ch} * {b}.c_{ch}" for ch in _EXL)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
 def _chain_epoch_blocks(
     mode: str,
     epochs: int,
@@ -1923,6 +2099,7 @@ def _chain_epoch_blocks(
     p: str = "",
     budget: str | None = None,
     materialize: bool = False,
+    exemplar: float | None = None,
 ) -> str:
     """The per-epoch CTE blocks of ONE crawl chain (no WITH header, no
     final select). Every chain-local CTE name carries prefix ``p`` so
@@ -2047,20 +2224,93 @@ def _chain_epoch_blocks(
   WHERE rn = 1),
 {_ttl_cte(k, ttl, p, mat)}
 {p}new{k} AS {mat}(
-  SELECT doc_id, host, url, queue, src_xpath, depth,
+  SELECT doc_id, host, url, queue, src_xpath, depth, src_seq,
          {next_base} + row_number() OVER (ORDER BY src_seq, j) - 1
            AS insertion_seq
   FROM {p}firstw{k} f
   WHERE NOT EXISTS (SELECT 1 FROM {p}seeneff{k} sn WHERE sn.url = f.url)),
+{_exemplar_ctes(k, exemplar, p, mat)}
 {p}frontier{k + 1} AS {mat}(
   SELECT doc_id, host, url, insertion_seq, queue, src_xpath, depth
   FROM {p}allowed{k}
   WHERE insertion_seq NOT IN (SELECT insertion_seq FROM {p}sel{k})
   UNION ALL
   SELECT doc_id, host, url, insertion_seq, queue, src_xpath, depth
-  FROM {p}new{k}),
+  FROM {p}{"newf" if exemplar is not None else "new"}{k}),
 {p}seen{k + 1} AS {mat}(SELECT url FROM {p}seeneff{k}
                    UNION ALL SELECT url FROM {p}new{k}),""")
+    return "\n".join(parts)
+
+
+def _exemplar_ctes(k: int, thresh: float | None, p: str, mat: str) -> str:
+    """Per-epoch E2 sampling + single-linkage clustering CTEs (engine
+    run_epoch exemplar block / oracle.py exemplar branch): per
+    (source row, xpath) group of the epoch's seen-surviving candidates,
+    md5-order sample of max(10, n//4); sampled urls that ARE corpus
+    pages get the documents text as caption; components of the
+    cosine ≥ threshold graph cluster single-linkage; the exemplar is
+    each component's smallest url (url = MIN(reach) ⟺ exemplar);
+    newf{k} = the frontier-entering subset. Sampled misses (target
+    outside the corpus) and unsampled survivors never expand — but ALL
+    survivors stay in URL-seen (seen{k+1} reads new{k}, not newf{k})."""
+    if thresh is None:
+        return ""
+    h61 = _H61.format(x="s.url")
+    return f"""
+{p}exrank{k} AS {mat}(
+  SELECT s.*, row_number() OVER (PARTITION BY src_seq, src_xpath
+                                 ORDER BY {h61}, s.url) AS srn,
+         COUNT(*) OVER (PARTITION BY src_seq, src_xpath) AS gn
+  FROM {p}new{k} s),
+{p}exsamp{k} AS {mat}(
+  SELECT * FROM {p}exrank{k} WHERE srn <= GREATEST(10, gn // 4)),
+{p}exvec{k} AS {mat}(
+  SELECT s.src_seq, s.src_xpath, s.url, {_ex_vec_sql("d.text")}
+  FROM {p}exsamp{k} s JOIN documents d ON d.doc_id = s.doc_id
+  WHERE s.doc_id < {N_CRAWL_DOCS}),
+{p}exprs{k} AS {mat}(
+  SELECT a.src_seq, a.src_xpath, a.url AS ua, b.url AS ub
+  FROM {p}exvec{k} a JOIN {p}exvec{k} b
+    ON a.src_seq = b.src_seq AND a.src_xpath = b.src_xpath
+   AND a.url < b.url
+  WHERE {_ex_cos_sql("a", "b")} >= {thresh}),
+{p}exedg{k} AS {mat}(
+  SELECT src_seq, src_xpath, ua, ub FROM {p}exprs{k}
+  UNION ALL SELECT src_seq, src_xpath, ub AS ua, ua AS ub FROM {p}exprs{k}),
+{p}exreach{k} AS (
+  SELECT src_seq, src_xpath, url, url AS r FROM {p}exvec{k}
+  UNION
+  SELECT e.src_seq, e.src_xpath, e.ua AS url, r.r
+  FROM {p}exedg{k} e JOIN {p}exreach{k} r
+    ON r.src_seq = e.src_seq AND r.src_xpath = e.src_xpath
+   AND r.url = e.ub),
+{p}exm{k} AS {mat}(
+  SELECT src_seq, src_xpath, url
+  FROM (SELECT src_seq, src_xpath, url, MIN(r) AS rep
+        FROM {p}exreach{k} GROUP BY 1, 2, 3)
+  WHERE url = rep),
+{p}newf{k} AS {mat}(
+  SELECT n.* FROM {p}new{k} n
+  WHERE EXISTS (SELECT 1 FROM {p}exm{k} e WHERE e.url = n.url)),"""
+
+
+def _exemplar_chain_sql() -> str:
+    """Chained DuckDB restatement of the E2 exemplar-sampling crawl
+    (q_crawl_exemplar): the plain-mode crawl chain over the dedicated
+    6-link/2-xpath graph, with the per-epoch sampling + recursive-CTE
+    single-linkage + exemplar-pick blocks between survivor computation
+    and frontier merge-back."""
+    parts = [
+        _chain_header(links_cte=_EX_LINKS_CTE, recursive=True),
+        _chain_epoch_blocks("plain", N_CRAWL_EPOCHS, exemplar=EX_CHAIN_THRESH),
+    ]
+    union = " UNION ALL ".join(
+        f"SELECT * FROM ord{i}" for i in range(N_CRAWL_EPOCHS)
+    )
+    parts.append(f"""
+all_ord AS ({union})
+SELECT CAST(seq AS BIGINT) AS seq, url, CAST(epoch AS BIGINT) AS epoch
+FROM all_ord""")
     return "\n".join(parts)
 
 
@@ -2894,6 +3144,7 @@ def oracle_sql() -> dict[str, str]:
         MULTISEQ_PLANS, MULTISEQ_BUDGET, N_CRAWL_EPOCHS
     )
     sqls["crawl_harvest_only"] = _crawl_chain_sql("harvest_only")
+    sqls["crawl_exemplar"] = _exemplar_chain_sql()
     sqls["action_seq_yields"] = f"""
         WITH {_LINKS_CTE.strip().lstrip('WITH').strip()},
         l AS (SELECT * FROM links2

@@ -24,7 +24,8 @@ SF = "/root/testdata/sf0.001"
 # test_skew.py's salted dequeue)
 SKIP = {
     "crawl_epoch", "crawl_harvest", "crawl_harvest_refined",
-    "crawl_depth_indexed", "crawl_ttl", "stream_politeness_throttle",
+    "crawl_depth_indexed", "crawl_ttl", "crawl_exemplar",
+    "stream_politeness_throttle",
     "stream_tumbling_hourly", "image_decode_stats",
 }
 
