@@ -940,6 +940,28 @@ def q_seeded_sample(spark, sf_dir):
     )
 
 
+def q_weighted_pick(spark, sf_dir):
+    """W5 proportional-to-weight pick per host (utils.clj:86-104
+    sample-proportionally, made deterministic per SURVEY.md §7):
+    u = seeded-hash uniform in [0, group total); the winner is the
+    first row in hash order whose running weight exceeds u. Seeded by
+    the md5-based 61-bit hash so the DuckDB twin draws the exact same
+    winner (xxhash64 has no DuckDB analog); weights doc_id % 7 are
+    integer-valued doubles, so every cumulative sum is IEEE-exact and
+    the crossing-point comparison is engine-independent."""
+    from crawler_spark.operators.dedup import md5_hash61
+    from crawler_spark.operators.windows import weighted_pick_per_group
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % N_HOSTS).alias("host"),
+        (F.col("doc_id") % 7).cast("double").alias("wgt"),
+        md5_hash61(F.col("doc_id").cast("string")).alias("h"),
+    )
+    out = weighted_pick_per_group(d, ["host"], "wgt", ["doc_id"], hash_col="h")
+    return out.select("host", "doc_id", "wgt")
+
+
 def q_training_data_pipeline(spark, sf_dir):
     """Flagship training-data pipeline: language filter → quality gate →
     exact-dup drop → near-dup drop (keep smallest id of each jaccard
@@ -1011,7 +1033,10 @@ def q_pagination_detect(spark, sf_dir):
     )
 
 
-# ---- rows-only queries (no exact SQL restatement) ----
+# ---- engine-loop / multimodal queries ----
+# (every one of these has a hash oracle too — the engine crawls are
+# gated by chained multi-epoch CTE restatements below, the multimodal
+# pair by deterministic-decoder twins; "rows-only" is history)
 
 
 N_CRAWL_DOCS = 240  # corpus bound shared by the crawl-chain queries + SQL
@@ -1963,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_leaf_classifier": q_nb_leaf_classifier,
         "plan_ordering": q_plan_ordering,
         "seeded_sample": q_seeded_sample,
+        "weighted_pick": q_weighted_pick,
         "training_data_pipeline": q_training_data_pipeline,
         "pagination_detect": q_pagination_detect,
         "dedup_clusters": q_dedup_clusters,
@@ -3596,6 +3622,35 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY host ORDER BY h, doc_id) AS samp_rank
             FROM hashed)
         WHERE samp_rank <= 3
+    """
+    # weighted_pick mirrors windows.weighted_pick_per_group exactly:
+    # cumulative/total sums are integer-valued doubles (IEEE-exact), the
+    # uniform draw is pmod(min-hash, 10^9)/10^9 · total (hash ≥ 0 so
+    # pmod == %), and ties break by (running, hash, doc_id)
+    sqls["weighted_pick"] = f"""
+        WITH d AS (
+            SELECT doc_id, doc_id % {N_HOSTS} AS host,
+                   CAST(doc_id % 7 AS DOUBLE) AS wgt,
+                   {_H61.format(x='CAST(doc_id AS VARCHAR)')} AS h
+            FROM documents),
+        r AS (
+            SELECT *,
+                   SUM(wgt) OVER (PARTITION BY host ORDER BY h, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS run,
+                   SUM(wgt) OVER (PARTITION BY host) AS tot,
+                   MIN(h) OVER (PARTITION BY host) AS mh,
+                   row_number() OVER (PARTITION BY host
+                                      ORDER BY h, doc_id) AS rk
+            FROM d),
+        u AS (
+            SELECT *, (CAST(mh % 1000000000 AS DOUBLE) / 1000000000) * tot
+                      AS uu
+            FROM r),
+        w AS (
+            SELECT *, row_number() OVER (PARTITION BY host
+                                         ORDER BY run, h, doc_id) AS rn
+            FROM u WHERE run > uu OR (tot = 0 AND rk = 1))
+        SELECT host, doc_id, wgt FROM w WHERE rn = 1
     """
     sqls["connected_components"] = """
         WITH RECURSIVE edges AS (

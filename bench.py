@@ -39,21 +39,15 @@ def _scratch(prefix):
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
-def crawl_engine_bench(spark, n_pages=30_000, epochs=5):
-    """Engine-loop throughput: big quotas (10-min epochs) so batches are
-    thousands of URLs; corpus pre-materialized so generation cost is not
-    billed to the engine; throughput-profile config (commit every 2
-    epochs, no extra metrics scan)."""
-    from pyspark.sql import functions as F
-
+def engine_warmup(spark):
+    """Untimed warm-up crawl: codegen compilation, parquet committer and
+    broadcast machinery init — the measured loop should reflect
+    steady-state epoch cost, not first-job JVM warmup (observed ±40%
+    swings on the first engine run of a session)."""
     from crawler_spark.engine import CrawlEngine, EngineConfig
     from crawler_spark.schema import ROBOTS_SCHEMA
     from crawler_spark.synth import SynthConfig, corpus_df, robots_rows, seed_urls
 
-    # untimed warm-up crawl: codegen compilation, parquet committer and
-    # broadcast machinery init — the measured loop should reflect
-    # steady-state epoch cost, not first-job JVM warmup (observed ±40%
-    # swings on the first engine run of a session)
     wcfg = SynthConfig(n_pages=1_500, n_hosts=10, with_images=False)
     wck = _scratch("bench-warm-")
     weng = CrawlEngine(
@@ -65,6 +59,16 @@ def crawl_engine_bench(spark, n_pages=30_000, epochs=5):
     weng.run(seed_urls(wcfg, 4))
     shutil.rmtree(wck, ignore_errors=True)
 
+
+def engine_web(spark, n_pages=30_000):
+    """(corpus, robots, seeds) for the engine-loop benchmark, with the
+    corpus pre-materialized to parquet so generation cost is not billed
+    to the engine. Caller unpersists/cleans via the returned paths."""
+    from crawler_spark.schema import ROBOTS_SCHEMA
+    from crawler_spark.synth import (
+        SynthConfig, corpus_df, robots_rows, url_of_index,
+    )
+
     cfg = SynthConfig(n_pages=n_pages, n_hosts=50, with_images=False)
     cdir = _scratch("bench-corpus-")
     corpus_df(spark, cfg).write.mode("overwrite").parquet(cdir)
@@ -72,8 +76,6 @@ def crawl_engine_bench(spark, n_pages=30_000, epochs=5):
     corpus.count()
     robots = spark.createDataFrame(robots_rows(cfg), ROBOTS_SCHEMA)
     # seed every host with its first 4 pages for wide epoch-1 batches
-    from crawler_spark.synth import url_of_index
-
     bounds = cfg.host_bounds
     seeds = [
         url_of_index(cfg, int(bounds[h]) + k)
@@ -81,6 +83,41 @@ def crawl_engine_bench(spark, n_pages=30_000, epochs=5):
         for k in range(4)
         if bounds[h] + k < bounds[h + 1]
     ]
+    return corpus, robots, seeds, cdir
+
+
+def engine_trial(spark, corpus, robots, seeds, epochs=5, track_paths=False):
+    """ONE timed engine run under the throughput profile (commit every 3
+    epochs, no extra metrics scan, path tracking per the flag).
+    Returns (wall_s, urls_scheduled, pages_fetched)."""
+    from crawler_spark.engine import CrawlEngine, EngineConfig
+
+    ck = _scratch("bench-ck-")
+    eng = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(max_epochs=epochs, epoch_ms=600_000, checkpoint_dir=ck,
+                     commit_every=3, detailed_metrics=False,
+                     n_seen_buckets=64, track_paths=track_paths),
+    )
+    t0 = time.time()
+    eng.run(seeds)
+    dt = time.time() - t0
+    m = eng.metrics.collect()
+    scheduled = sum(r.urls_scheduled for r in m)
+    fetched = sum(r.pages_fetched for r in m)
+    shutil.rmtree(ck, ignore_errors=True)
+    return dt, scheduled, fetched
+
+
+def crawl_engine_bench(spark, n_pages=30_000, epochs=5):
+    """Engine-loop throughput: big quotas (10-min epochs) so batches are
+    thousands of URLs. Throughput profile runs track_paths=False — the
+    r4→r5 controlled A/B (scripts/ab_track_paths.py, pinned in BENCH.md)
+    attributed the round-4 crawl-engine regression to the always-on
+    action-path arrays; learn-model crawls (the only path consumer)
+    flip it back on."""
+    engine_warmup(spark)
+    corpus, robots, seeds, cdir = engine_web(spark, n_pages)
     # best-of-3 trials: the co-tenant box swings single-trial engine-loop
     # wall time by ±25% (observed 44-62 s same-day, same code; a bad
     # window can even hit BOTH of two back-to-back trials — observed
@@ -89,20 +126,10 @@ def crawl_engine_bench(spark, n_pages=30_000, epochs=5):
     trials = []
     scheduled = fetched = 0
     for _ in range(3):
-        ck = _scratch("bench-ck-")
-        eng = CrawlEngine(
-            spark, corpus, robots,
-            EngineConfig(max_epochs=epochs, epoch_ms=600_000, checkpoint_dir=ck,
-                         commit_every=3, detailed_metrics=False,
-                         n_seen_buckets=64),
+        dt, scheduled, fetched = engine_trial(
+            spark, corpus, robots, seeds, epochs
         )
-        t0 = time.time()
-        eng.run(seeds)
-        trials.append(time.time() - t0)
-        m = eng.metrics.collect()
-        scheduled = sum(r.urls_scheduled for r in m)
-        fetched = sum(r.pages_fetched for r in m)
-        shutil.rmtree(ck, ignore_errors=True)
+        trials.append(dt)
     dt = min(trials)
     corpus.unpersist()
     shutil.rmtree(cdir, ignore_errors=True)

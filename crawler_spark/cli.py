@@ -264,10 +264,15 @@ def cmd_learn_model(args) -> int:
     # --multiseq ranks (plan_model: length asc, yield desc) and folds
     # through the shared-budget loop. Plan-ordered here for readability;
     # plan_model re-sorts at execution anyway.
+    # leaf side first, no broadcast hint: crawl_order is unbounded (a
+    # sustained run schedules ~194k rows/1M-page web, each carrying a
+    # path array), so only the corpus's LEAF rows join it and AQE picks
+    # the join strategy from runtime sizes
     leaf_seq_rows = (
-        corpus.select("url", "is_leaf")
-        .join(F.broadcast(order.select("url", "path")), "url")
-        .filter(F.col("is_leaf") & (F.size("path") > 0))
+        corpus.filter(F.col("is_leaf"))
+        .select("url")
+        .join(order.select("url", "path"), "url")
+        .filter(F.size("path") > 0)
         .groupBy("path")
         .agg(F.count("*").alias("freq"))
         .collect()
@@ -316,11 +321,18 @@ def cmd_fix_model(args) -> int:
     spark, owned = _session(args.master)
     with open(args.model) as fh:
         model = json.load(fh)
-    order = read_state_tables(spark, args.checkpoint, ["crawl_order"])[
-        "crawl_order"
-    ]
+    tables = read_state_tables(spark, args.checkpoint, ["crawl_order", "samples"])
     corpus = _cli_corpus(spark, args)
-    _fetched, labeled = _labeled_links(corpus, order)
+    # the re-probe labels links against the SAME evidence learn-model
+    # used — crawl_order ∪ exemplar-mode samples (sampled pages were
+    # downloaded, crawl.clj:567-579, and are corpus evidence in the
+    # reference's fix step too). Probing against crawl_order alone
+    # would re-judge :only/:avoid tokens on a strict subset of their
+    # own learning evidence and silently drop valid tokens.
+    evidence = tables["crawl_order"].select("url").unionByName(
+        tables["samples"].select("url")
+    ).distinct()
+    _fetched, labeled = _labeled_links(corpus, evidence)
 
     actions = spark.createDataFrame(
         [(r["xpath"], r["freq"]) for r in model["leaf_xpath_freqs"]] or

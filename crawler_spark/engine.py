@@ -127,6 +127,17 @@ class EngineConfig:
     # depth (crawl.clj:525-528). Mutually exclusive with model_xpaths —
     # the flat set applies every step uniformly.
     model_action_seq: tuple | None = None
+    # per-source pagination model (reference detect-pagination's
+    # :paging-actions + :refine maps, corpus.clj:123-217, applied at
+    # crawl.clj:358-390): entries ((action_seq, paging_xpath, only,
+    # avoid), ...) keyed by the SOURCE page's action path. When set, a
+    # digit-anchored link is chased as pagination only if its xpath IS
+    # the learned paging action for its parent's path AND its target
+    # url passes the entry's {:only :avoid} token refinement; links
+    # from paths with no entry have no paging. Takes over from the
+    # global paging_xpaths set (the reference executor is purely
+    # per-source). Requires track_paths (the lookup key is the path).
+    paging_model: tuple = ()
     # learned refinement (:avoid, dom.clj:942-1061, model.clj:30-175,
     # applied in the E3 loop crawl.clj:458-530): per-xpath URL path
     # tokens that only ever led to fat (non-leaf) pages — candidates
@@ -162,6 +173,26 @@ class EngineConfig:
     # more than shuffling a small table); above it the scan-only
     # broadcast-probe path avoids ever shuffling the 10^10-row seen table
     scan_only_seen_rows: int = 20_000_000
+    # epoch-batch broadcast ceiling: every join whose build side derives
+    # from the quota-bounded selected batch (fetch keys, alias hits,
+    # redirect closure, path re-attach, exemplar samples) broadcasts
+    # only while the batch row-count hint stays under this; above it the
+    # join falls back to a shuffle-hash hint on the url/src_seq key.
+    # Quota bounds rows PER HOST, so the batch is quota × |hosts with
+    # pending rows| — at the 10^10-URL design point with 10⁷-10⁸ live
+    # hosts an unconditional broadcast is a multi-GB build against the
+    # driver/executor broadcast ceiling. On a cluster the corpus side is
+    # bucketed by url (sources/iceberg.py), so the fallback's
+    # storage-partitioned join shuffles only the batch side; the corpus
+    # still never fully shuffles either way.
+    broadcast_max_rows: int = 4_000_000
+    # action-path tracking (FRONTIER_SCHEMA.path): ON keeps the per-row
+    # xpath array the model learner's :actions evidence needs
+    # (crawl.clj:108 frequencies over src-path). OFF writes empty arrays
+    # (schema unchanged) and skips the per-epoch survivor re-attach join
+    # — the throughput configuration for crawls nobody will learn a
+    # model from. learn-model is the only consumer of non-empty paths.
+    track_paths: bool = True
 
     def __post_init__(self):
         # bloom bits can't be unset, so a TTL run with bloom segments
@@ -180,12 +211,37 @@ class EngineConfig:
                 "use seen_filter='cuckoo' (O(expired) fingerprint deletes) "
                 "or use_bloom=False for TTL runs"
             )
+        if self.paging_model and not self.track_paths:
+            raise ValueError(
+                "paging_model keys pagination by the parent's action "
+                "path — it cannot run with track_paths=False (every "
+                "lookup key would be the empty path)"
+            )
 
 
 _STATE_TABLES = (
     "frontier", "url_seen", "segments", "crawl_order", "lineage", "metrics",
     "content_seen", "extracted", "samples",
 )
+
+# checkpoint format version, stamped into every manifest. Version 2
+# added the required ``path`` column to frontier/crawl_order; a
+# pre-version checkpoint read with today's schemas would fail resume on
+# the missing frontier column — or worse, read crawl_order.path as NULL
+# and let learn-model silently emit an empty action-sequence set — so
+# loads reject older formats with an explicit re-crawl message instead.
+CHECKPOINT_FORMAT = 2
+
+
+def _check_format(manifest: dict, ckpt: str) -> None:
+    have = manifest.get("format", 1)
+    if have < CHECKPOINT_FORMAT:
+        raise ValueError(
+            f"checkpoint {ckpt} has format {have} (< {CHECKPOINT_FORMAT}): "
+            "it predates the frontier/crawl_order action-path columns and "
+            "cannot be resumed or learned from — re-run the crawl with the "
+            "current engine"
+        )
 
 # Commit-cost split (the Iceberg mapping, north_rule "merge-back with
 # per-partition lineage"): append-only tables commit as per-epoch DELTA
@@ -347,6 +403,7 @@ def read_state_tables(spark, ckpt: str, names: list) -> dict:
     d = os.path.join(ckpt, snaps[-1])
     with open(os.path.join(d, "manifest.json")) as f:
         manifest = json.load(f)
+    _check_format(manifest, ckpt)
     out = {}
     for name in names:
         if manifest.get("append_log") and name in _APPEND_TABLES:
@@ -602,6 +659,7 @@ class CrawlEngine:
         d = self._snap_dir(epoch)
         with open(os.path.join(d, "manifest.json")) as f:
             self._manifest = json.load(f)
+        _check_format(self._manifest, self.ckpt)
         # the segments table's bytes are filter-kind-specific; a bloom
         # read of cuckoo bytes (or a prefilter read of an empty no-filter
         # table) would silently produce wrong membership answers
@@ -684,6 +742,7 @@ class CrawlEngine:
         self._manifest = {
             "epoch": -1, "next_seq": n_seeds, "dequeue_seq": 0, "leaves_fetched": 0,
             "pending": n_seeds, "seen_filter": self._filter_kind(),
+            "format": CHECKPOINT_FORMAT,
         }
         # the seed rows are commit 0's url_seen delta; every other
         # append table starts empty
@@ -769,6 +828,20 @@ class CrawlEngine:
             return fallback()
         return tuple(row[n] for n in names)
 
+    def _bcast(self, df: DataFrame, approx_rows: int | None) -> DataFrame:
+        """Size-guarded broadcast for epoch-batch build sides:
+        broadcast while *approx_rows* (an UPPER BOUND on df's rows —
+        selected ⊆ pending, survivors ≤ candidates) stays under
+        ``cfg.broadcast_max_rows``, else hint a shuffle-hash join so
+        Spark hashes the batch side instead of building a
+        beyond-ceiling broadcast. The fallback is strategy-only — join
+        keys and semantics are untouched, and exact-parity tests run
+        the engine with a forced-tiny threshold to prove it
+        (tests/test_broadcast_guard.py)."""
+        if approx_rows is None or approx_rows <= self.cfg.broadcast_max_rows:
+            return F.broadcast(df)
+        return df.hint("shuffle_hash")
+
     def _assign_seq(self, df, order_cols, seq_col, start, n_rows):
         """Sequence assignment: single-partition window for batches that
         fit one task comfortably (the quota-bounded common case), the
@@ -788,10 +861,11 @@ class CrawlEngine:
         number in the tombstone log."""
         expired = expired_urls(self._state["crawl_order"], expire_epoch).persist()
         try:
-            if expired.count() == 0:
+            n_expired = expired.count()
+            if n_expired == 0:
                 return
             self._state["url_seen"] = self._state["url_seen"].join(
-                F.broadcast(expired), "url", "left_anti"
+                self._bcast(expired, n_expired), "url", "left_anti"
             )
             # record the tombstone (keys only) for the next commit, and
             # scrub the keys from any not-yet-committed append parts —
@@ -807,7 +881,7 @@ class CrawlEngine:
                 )
                 if self._uncommitted.get(name):
                     self._uncommitted[name] = [
-                        p.join(F.broadcast(expired), "url", "left_anti")
+                        p.join(self._bcast(expired, n_expired), "url", "left_anti")
                         for p in self._uncommitted[name]
                     ]
             if self.cfg.use_bloom:
@@ -831,7 +905,7 @@ class CrawlEngine:
                 # an expired page must re-extract on refetch, not count
                 # as a redirect-cache hit
                 self._state["extracted"] = self._state["extracted"].join(
-                    F.broadcast(expired), "url", "left_anti"
+                    self._bcast(expired, n_expired), "url", "left_anti"
                 )
             # pin the expiry result: the seen/segments lineage must not
             # re-evaluate the anti-joins per downstream action
@@ -899,7 +973,7 @@ class CrawlEngine:
             fetch_cols.append("caption")
         if self._alias_map is not None:
             am = self._alias_map.join(
-                F.broadcast(sel_urls),
+                self._bcast(sel_urls, n_pending_hint),
                 self._alias_map["alias_url"] == sel_urls["url"],
                 "inner",
             ).select("seq", "final_url")
@@ -915,7 +989,7 @@ class CrawlEngine:
                 F.lit(0).alias("__prio"),
                 "depth",
             ).unionByName(
-                sel_urls.join(F.broadcast(am), "seq").select(
+                sel_urls.join(self._bcast(am, n_pending_hint), "seq").select(
                     "seq",
                     F.col("url").alias("requested_url"),
                     F.col("final_url").alias("__join_url"),
@@ -926,7 +1000,7 @@ class CrawlEngine:
             w_prio = Window.partitionBy("seq").orderBy("__prio")
             fetched = (
                 self.corpus.join(
-                    F.broadcast(keys),
+                    self._bcast(keys, 2 * n_pending_hint),
                     self.corpus["url"] == keys["__join_url"],
                     "inner",
                 )
@@ -938,7 +1012,9 @@ class CrawlEngine:
             resolved = sel_urls.select(
                 "seq", F.col("url").alias("requested_url"), "url", "depth"
             )
-            fetched = self.corpus.join(F.broadcast(resolved), "url", "inner").select(
+            fetched = self.corpus.join(
+                self._bcast(resolved, n_pending_hint), "url", "inner"
+            ).select(
                 *fetch_cols
             )
         if self._alias_map is not None:
@@ -948,11 +1024,12 @@ class CrawlEngine:
             # is counted as fetched but not re-extracted
             w_dup = Window.partitionBy("url").orderBy("seq")
             prev_hits = self._state["extracted"].join(
-                F.broadcast(fetched.select("url").distinct()), "url", "left_semi"
+                self._bcast(fetched.select("url").distinct(), n_pending_hint),
+                "url", "left_semi"
             ).withColumn("__prev", F.lit(True))
             fetched = (
                 fetched.withColumn("__dup_rn", F.row_number().over(w_dup))
-                .join(F.broadcast(prev_hits), "url", "left")
+                .join(self._bcast(prev_hits, n_pending_hint), "url", "left")
                 .withColumn(
                     "__cache_hit",
                     (F.col("__dup_rn") > 1) | F.col("__prev").isNotNull(),
@@ -1012,11 +1089,74 @@ class CrawlEngine:
             # NULL and silently drop a model-matched link the oracle
             # keeps (it matches on `text or ''`), so anchor on ''
             is_digit = F.coalesce(F.col("src_text"), F.lit("")).rlike("^[0-9]+$")
-            keep_paging = (
-                is_digit & F.col("src_xpath").isin(list(cfg.paging_xpaths))
-                if cfg.paging_xpaths
-                else F.lit(False)
-            )
+            pg_joined = False
+            if cfg.paging_model:
+                # per-source pagination (crawl.clj:358-390: the paging
+                # action AND its refinement are keyed by the parent's
+                # action seq). The parent's entry rides in as ONE small
+                # struct via a size-guarded join against the
+                # quota-bounded batch — the candidate stream never
+                # carries the path array itself, and the model lives
+                # entirely in this epoch-local literal CASE (tiny:
+                # one entry per learned source seq).
+                from .operators.xpath_model import href_path_tokens
+
+                pg_type = (
+                    "struct<xpath:string,only:array<string>,"
+                    "avoid:array<string>>"
+                )
+                pg_expr = F.lit(None).cast(pg_type)
+                for seq, xp, only, avoid in cfg.paging_model:
+                    cond = (
+                        F.col("path") == F.array(*[F.lit(s) for s in seq])
+                        if seq
+                        else (F.size("path") == 0)
+                    )
+                    pg_expr = F.when(
+                        cond,
+                        F.struct(
+                            F.lit(xp).alias("xpath"),
+                            F.array(*[F.lit(t) for t in only])
+                            .cast("array<string>")
+                            .alias("only"),
+                            F.array(*[F.lit(t) for t in avoid])
+                            .cast("array<string>")
+                            .alias("avoid"),
+                        ),
+                    ).otherwise(pg_expr)
+                sel_pg = selected.select(
+                    F.col("seq").alias("src_seq"), pg_expr.alias("__pg")
+                )
+                cand_all = cand_all.join(
+                    self._bcast(sel_pg, n_pending_hint), "src_seq", "left"
+                )
+                pg_joined = True
+                toks = href_path_tokens("url")
+                pg = F.col("__pg")
+                keep_paging = (
+                    is_digit
+                    & pg.isNotNull()
+                    & (F.col("src_xpath") == pg["xpath"])
+                    # the learned refinement gates the paging hop
+                    # (eval-anchor-xpath-refined, dom.clj:599-631:
+                    # :only restricts, then :avoid drops); a link that
+                    # fails falls through to content eligibility
+                    & ~F.exists(
+                        pg["avoid"], lambda a: F.array_contains(toks, a)
+                    )
+                    & (
+                        (F.size(pg["only"]) == 0)
+                        | F.exists(
+                            pg["only"], lambda t: F.array_contains(toks, t)
+                        )
+                    )
+                )
+            elif cfg.paging_xpaths:
+                keep_paging = is_digit & F.col("src_xpath").isin(
+                    list(cfg.paging_xpaths)
+                )
+            else:
+                keep_paging = F.lit(False)
             if cfg.model_action_seq is not None:
                 # depth-indexed plan (xpath-to-pick, crawl.clj:200-202):
                 # the page's depth selects THE one content action; pages
@@ -1035,6 +1175,8 @@ class CrawlEngine:
             cand_all = cand_all.filter(keep_paging | keep_content).withColumn(
                 "queue", F.when(keep_paging, F.lit("paging")).otherwise(F.lit("content"))
             )
+            if pg_joined:
+                cand_all = cand_all.drop("__pg")
         if cfg.refine_avoid or cfg.refine_only:
             # learned refinement (:only restriction first, then :avoid,
             # dom.clj:599-631) — dropped BEFORE the seen check and
@@ -1079,10 +1221,11 @@ class CrawlEngine:
             ).select("seq", "url")
             closure.persist()
             candidates = candidates.join(
-                F.broadcast(
+                self._bcast(
                     closure.select(
                         F.col("url").alias("__curl"), F.col("seq").alias("__cseq")
-                    )
+                    ),
+                    n_pending_hint,
                 ),
                 (F.col("url") == F.col("__curl"))
                 & (F.col("__cseq") <= F.col("src_seq")),
@@ -1133,16 +1276,7 @@ class CrawlEngine:
             survivors_raw, ["src_seq", "pos"], "insertion_seq", next_seq, n_new
         )
 
-        # action paths re-attach HERE, not on the candidate stream: the
-        # parent's path is broadcast from the quota-bounded selected
-        # batch keyed by src_seq, so the (10^10-scale) link explosion,
-        # dedup shuffle, and Arrow seen probe never carry the array
-        sel_paths = selected.select(
-            F.col("seq").alias("src_seq"), F.col("path").alias("src_path")
-        )
-        new_frontier_rows = survivors.join(
-            F.broadcast(sel_paths), "src_seq"
-        ).select(
+        base_cols = [
             "url", "url_hash", "host",
             "src_url", "src_text", "src_xpath",
             F.lit(epoch + 1).alias("epoch_added"),
@@ -1154,13 +1288,33 @@ class CrawlEngine:
             .otherwise(F.col("src_depth") + 1)
             .cast("int")
             .alias("depth"),
-            # action path mirrors depth: content hops append their
-            # src_xpath (reference src-path conj, crawl.clj:200-202),
-            # paging hops keep the parent's — len(path) == depth
-            F.when(F.col("queue") == "paging", F.col("src_path"))
-            .otherwise(F.concat(F.col("src_path"), F.array(F.col("src_xpath"))))
-            .alias("path"),
-        )
+        ]
+        if cfg.track_paths:
+            # action paths re-attach HERE, not on the candidate stream:
+            # the parent's path joins in from the quota-bounded selected
+            # batch keyed by src_seq (size-guarded broadcast — n_selected
+            # is exact by now), so the (10^10-scale) link explosion,
+            # dedup shuffle, and Arrow seen probe never carry the array
+            sel_paths = selected.select(
+                F.col("seq").alias("src_seq"), F.col("path").alias("src_path")
+            )
+            new_frontier_rows = survivors.join(
+                self._bcast(sel_paths, n_selected), "src_seq"
+            ).select(
+                *base_cols,
+                # action path mirrors depth: content hops append their
+                # src_xpath (reference src-path conj, crawl.clj:200-202),
+                # paging hops keep the parent's — len(path) == depth
+                F.when(F.col("queue") == "paging", F.col("src_path"))
+                .otherwise(F.concat(F.col("src_path"), F.array(F.col("src_xpath"))))
+                .alias("path"),
+            )
+        else:
+            # throughput mode: no re-attach join, empty path arrays keep
+            # the schema (and every downstream write) unchanged
+            new_frontier_rows = survivors.select(
+                *base_cols, F.array().cast("array<string>").alias("path")
+            )
         n_frontier_added = n_new
         if cfg.exemplar_sampling:
             # E2 (prepare-example, crawl.clj:532-629): seeded per-group
@@ -1189,9 +1343,9 @@ class CrawlEngine:
             ).select("src_url", "src_xpath", "url")
             hits = self.corpus.select(
                 "url", "caption", "is_leaf"
-            ).join(F.broadcast(sampled), "url")
+            ).join(self._bcast(sampled, n_new), "url")
             misses = sampled.join(
-                F.broadcast(hits.select("url")), "url", "left_anti"
+                self._bcast(hits.select("url"), n_new), "url", "left_anti"
             ).select(
                 "src_url", "src_xpath", "url",
                 F.lit(None).cast("string").alias("caption"),
@@ -1213,7 +1367,7 @@ class CrawlEngine:
             )
             exemplar_urls = assigned.filter(F.col("exemplar")).select("url")
             new_frontier_rows = new_frontier_rows.join(
-                F.broadcast(exemplar_urls), "url", "left_semi"
+                self._bcast(exemplar_urls, n_new), "url", "left_semi"
             )
             n_frontier_added = new_frontier_rows.count()
             self._pending_unpersist.append(assigned)

@@ -78,14 +78,25 @@ def seeded_sample_per_group(
 
 
 def weighted_pick_per_group(
-    df: DataFrame, group_cols: list, weight_col: str, seed_cols: list
+    df: DataFrame, group_cols: list, weight_col: str, seed_cols: list,
+    hash_col: str | None = None,
 ) -> DataFrame:
     """W5: proportional-to-weight pick: u = hash-uniform in [0, total);
     winner = first row (in hash order) whose running weight exceeds u
-    (utils.clj:86-104 sample-proportionally, deterministic)."""
-    order = F.xxhash64(*[F.col(c) for c in seed_cols]).asc()
+    (utils.clj:86-104 sample-proportionally, deterministic).
+
+    ``hash_col`` names a precomputed seed-hash column to use instead of
+    ``xxhash64(seed_cols)`` — the oracled registry query passes an
+    md5-based hash both engines can restate (DuckDB has no xxhash64).
+    Hash ties break by the seed columns themselves, so the winner is
+    deterministic even under hash collisions."""
+    seed_hash = (
+        F.col(hash_col) if hash_col
+        else F.xxhash64(*[F.col(c) for c in seed_cols])
+    )
+    order = [seed_hash.asc()] + [F.col(c).asc() for c in seed_cols]
     w_run = (
-        Window.partitionBy(*group_cols).orderBy(order)
+        Window.partitionBy(*group_cols).orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy(*group_cols)
@@ -94,7 +105,7 @@ def weighted_pick_per_group(
         .withColumn("__tot", F.sum(weight_col).over(w_all))
         .withColumn(
             "__u",
-            (F.pmod(F.min(F.xxhash64(*[F.col(c) for c in seed_cols])).over(w_all), F.lit(10**9))
+            (F.pmod(F.min(seed_hash).over(w_all), F.lit(10**9))
              / F.lit(10**9)) * F.col("__tot"),
         )
         # all-zero-weight group: every __run == __u == 0, the strict
@@ -102,7 +113,7 @@ def weighted_pick_per_group(
         # — the reference's sample always returns an element, so fall
         # back to the first row in hash order
         .withColumn(
-            "__rk", F.row_number().over(Window.partitionBy(*group_cols).orderBy(order))
+            "__rk", F.row_number().over(Window.partitionBy(*group_cols).orderBy(*order))
         )
         .filter(
             (F.col("__run") > F.col("__u"))
@@ -112,7 +123,7 @@ def weighted_pick_per_group(
     )
     # tie-break equal running sums (zero-weight rows after the crossing
     # point) by the same hash order — keeps the winner deterministic
-    w_rank = Window.partitionBy(*group_cols).orderBy(F.col("__run").asc(), order)
+    w_rank = Window.partitionBy(*group_cols).orderBy(F.col("__run").asc(), *order)
     return (
         d.withColumn("__rn", F.row_number().over(w_rank))
         .filter(F.col("__rn") == 1)

@@ -334,6 +334,180 @@ def detect_pagination(
     )
 
 
+def href_path_tokens(href_col: str):
+    """URL path tokens of *href_col* — the refinement vocabulary shared
+    by learning (token_incidence / learn_paging_model) and execution
+    (apply_refinement / the engine's per-source paging filter)."""
+    return F.split(
+        F.regexp_replace(href_col, "^[a-zA-Z]+://[^/]*/", ""), "/"
+    )
+
+
+def learn_paging_model(
+    links: DataFrame,
+    page_paths: DataFrame,
+    min_cosine: float = 0.6,
+    fetched: DataFrame | None = None,
+) -> DataFrame:
+    """Per-source pagination model — the reference detect-pagination's
+    :paging-actions AND :refine maps in one pass (corpus.clj:123-217,
+    refine-action corpus.clj:92-120):
+
+    1. candidates: digit-anchored links whose TARGET page is
+       structurally similar to the source (page-signature cosine ≥
+       *min_cosine* — the ``similar?`` gate);
+    2. per source action-seq, the winning paging xpath is the
+       argmax-by-cosine over its candidates (corpus.clj:158-186 reduce;
+       distinct pairs first, max cosine per (seq, xpath), then the
+       best xpath per seq — ties break cosine desc, xpath asc, where
+       the reference's reduce order is accidental);
+    3. per winner, the learned refinement: each SOURCE PAGE labels its
+       digit targets muscle (similar) / fat (dissimilar) and derives
+       {:only :avoid} over the target-URL path-token vocabulary (the
+       repo's refinement alphabet — the reference discriminates on DOM
+       positions, dom.clj:942-1061; same shape, documented adaptation),
+       then the MODAL refinement across source pages wins
+       (corpus.clj:186-217 ``frequencies`` → last of sort-by; ties
+       break count desc, only asc, avoid asc — deterministic where the
+       reference's hash-map order is not).
+
+    ``links``: (page_url, xpath, href, text) — out-links of fetched
+    pages whose href target was also fetched, hrefs canonical.
+    ``page_paths``: (page_url, action_seq array<string>) — the action
+    path each source page was reached by (crawl_order.path).
+
+    Returns (action_seq, paging_xpath, cosine, only, avoid). Scale
+    shape: the pair set is bounded by digit links into fetched targets
+    (never all-pairs); signatures aggregate once from the link table;
+    every later stage groups the bounded candidate set.
+
+    ``fetched`` (page_url) restricts targets to downloaded pages —
+    unfetched targets are not corpus evidence (the reference's corpus
+    filter). Defaults to the pages appearing in ``links``; pass the
+    real fetched set when link-less fetched pages exist (they carry an
+    empty signature and count as FAT — structurally dissimilar — as
+    does any zero-xpath-overlap target)."""
+    if fetched is None:
+        fetched = links.select("page_url").distinct()
+    digits = (
+        links.filter(F.coalesce(F.col("text"), F.lit("")).rlike("^[0-9]+$"))
+        .select("page_url", "xpath", "href")
+        .join(
+            fetched.select(F.col("page_url").alias("href")), "href", "left_semi"
+        )
+    )
+    # structural cosine for the digit (source, target) pairs only. A
+    # pair sharing NO xpath key has no dot row — coalesce to 0, never
+    # drop: zero-overlap targets are maximal fat evidence
+    sig = page_signature(links)
+    e = sig.select("page_url", F.explode("signature").alias("k", "v"))
+    norms = e.groupBy("page_url").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    pairs = digits.select(
+        F.col("page_url").alias("pa"), F.col("href").alias("pb")
+    ).distinct()
+    dots = (
+        pairs.join(
+            e.select(F.col("page_url").alias("pa"), "k", F.col("v").alias("va")),
+            "pa",
+        )
+        .join(
+            e.select(F.col("page_url").alias("pb"), "k", F.col("v").alias("vb")),
+            ["pb", "k"],
+        )
+        .groupBy("pa", "pb")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    sims = (
+        pairs.join(dots, ["pa", "pb"], "left")
+        .join(
+            norms.select(F.col("page_url").alias("pa"), F.col("nrm").alias("na")),
+            "pa", "left",
+        )
+        .join(
+            norms.select(F.col("page_url").alias("pb"), F.col("nrm").alias("nb")),
+            "pb", "left",
+        )
+        .select(
+            "pa", "pb",
+            F.when(
+                (F.coalesce(F.col("na"), F.lit(0.0)) > 0)
+                & (F.coalesce(F.col("nb"), F.lit(0.0)) > 0),
+                F.coalesce(F.col("dot"), F.lit(0.0))
+                / (F.col("na") * F.col("nb")),
+            ).otherwise(F.lit(0.0)).alias("cosine"),
+        )
+    )
+    labeled = (
+        digits.join(
+            sims,
+            (digits.page_url == sims.pa) & (digits.href == sims.pb),
+        )
+        .drop("pa", "pb")
+        .join(page_paths.withColumnRenamed("action_seq", "__seq"), "page_url")
+        .withColumn("sim", F.col("cosine") >= F.lit(min_cosine))
+    )
+    labeled = labeled.persist()
+    # step 2: argmax-by-cosine paging xpath per source action-seq
+    per_pair = (
+        labeled.filter("sim")
+        .groupBy("__seq", "xpath")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    w_best = Window.partitionBy("__seq").orderBy(
+        F.desc("cosine"), F.asc("xpath")
+    )
+    winners = (
+        per_pair.withColumn("__rn", F.row_number().over(w_best))
+        .filter(F.col("__rn") == 1)
+        .select("__seq", F.col("xpath").alias("paging_xpath"), "cosine")
+    )
+    # step 3: per-source {only, avoid} at the winning xpath, then modal
+    at_winner = labeled.join(
+        winners.select("__seq", F.col("paging_xpath").alias("xpath")),
+        ["__seq", "xpath"],
+    )
+    toks = at_winner.select(
+        "__seq", "xpath", "page_url", "sim",
+        F.explode(href_path_tokens("href")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    inc = toks.groupBy("__seq", "xpath", "page_url", "tok").agg(
+        F.max(F.col("sim").cast("int")).alias("in_muscle"),
+        F.max((~F.col("sim")).cast("int")).alias("in_fat"),
+    )
+    per_source = inc.groupBy("__seq", "xpath", "page_url").agg(
+        F.sort_array(
+            F.collect_set(
+                F.when((F.col("in_muscle") == 1) & (F.col("in_fat") == 0), F.col("tok"))
+            )
+        ).alias("only"),
+        F.sort_array(
+            F.collect_set(
+                F.when((F.col("in_fat") == 1) & (F.col("in_muscle") == 0), F.col("tok"))
+            )
+        ).alias("avoid"),
+    )
+    modal = per_source.groupBy("__seq", "xpath", "only", "avoid").agg(
+        F.count("*").alias("n_sources")
+    )
+    w_modal = Window.partitionBy("__seq", "xpath").orderBy(
+        F.desc("n_sources"), F.asc("only"), F.asc("avoid")
+    )
+    chosen = (
+        modal.withColumn("__rn", F.row_number().over(w_modal))
+        .filter(F.col("__rn") == 1)
+        .select("__seq", F.col("xpath").alias("paging_xpath"), "only", "avoid")
+    )
+    return winners.join(chosen, ["__seq", "paging_xpath"]).select(
+        F.col("__seq").alias("action_seq"),
+        "paging_xpath",
+        F.round("cosine", 4).alias("cosine"),
+        "only",
+        "avoid",
+    )
+
+
 def token_incidence(labeled_links: DataFrame) -> DataFrame:
     """Per-(xpath, href-path-token) good/bad incidence over labeled
     links — the evidence table both refinement LEARNING (refine_xpaths)
@@ -342,7 +516,7 @@ def token_incidence(labeled_links: DataFrame) -> DataFrame:
     toks = labeled_links.select(
         "xpath",
         "good",
-        F.explode(F.split(F.regexp_replace("href", "^[a-zA-Z]+://[^/]*/", ""), "/")).alias("tok"),
+        F.explode(href_path_tokens("href")).alias("tok"),
     ).filter(F.col("tok") != "")
     return toks.groupBy("xpath", "tok").agg(
         F.max(F.col("good").cast("int")).alias("in_good"),
@@ -482,9 +656,7 @@ def apply_refinement(
     cols = ["only", "avoid"] if has_only else ["avoid"]
     r = refinement.select(F.col("xpath").alias(xpath_col), *cols)
     joined = links.join(F.broadcast(r), xpath_col, "left")
-    path_toks = F.split(
-        F.regexp_replace(href_col, "^[a-zA-Z]+://[^/]*/", ""), "/"
-    )
+    path_toks = href_path_tokens(href_col)
     keep = ~F.exists(
         F.coalesce(F.col("avoid"), F.array()),
         lambda a: F.array_contains(path_toks, a),

@@ -25,6 +25,7 @@ SF = "/root/testdata/sf0.001"
 SKIP = {
     "crawl_epoch", "crawl_harvest", "crawl_harvest_refined",
     "crawl_depth_indexed", "crawl_ttl", "crawl_exemplar",
+    "crawl_multiseq", "crawl_harvest_only", "crawl_paging_refined",
     "stream_politeness_throttle",
     "stream_tumbling_hourly", "image_decode_stats",
 }
