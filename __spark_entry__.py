@@ -1033,6 +1033,128 @@ def q_pagination_detect(spark, sf_dir):
     )
 
 
+# fix-model sequence shadowing (remove-pagination-from-actions,
+# corpus.clj:409-438, the INTENDED every?-semantics — the reference's
+# some/every? inversion is documented at strip_pagination_shadowed):
+# a plan is stripped when its chronological prefix equals a learned
+# per-source paging entry's (source-seq + paging-action) AND the plan's
+# final-action refinement equals the entry's {:only :avoid}. Entries
+# chosen so every clause bites on the realized 2-hop plan set:
+# ((), xpnav) strips (xpnav, *) EXCEPT final xp1 (refinement mismatch);
+# (('xp2',), xpnav) strips the mixed plan (xp2, xpnav); (('xp1',),
+# xpnav, avoid '9') matches (xp1, xpnav)'s shape but not its (empty)
+# refinement — never strips.
+FIXSEQ_PAGING = (
+    ((), "xpnav", (), ()),
+    (("xp2",), "xpnav", (), ()),
+    (("xp1",), "xpnav", (), ("9",)),
+)
+FIXSEQ_REFS = (("xp1", (), ("9",)),)
+
+
+def q_fix_model_seqs(spark, sf_dir):
+    """fix-model SEQUENCE shadowing (corpus.clj:409-438 as intended),
+    stated relationally: realized 2-hop action plans (the
+    action_seq_yields chain set) × the per-source paging entries —
+    stripped iff prefix-match AND final-action refinement equality.
+    The generic array statement (slice == key+[pxp], array-equality on
+    the refinement) runs Spark-side; the DuckDB twin unrolls the tiny
+    literal entry set. CLI rule itself: cli.cmd_fix_model._shadowed,
+    e2e-gated in tests/test_cli.py."""
+    l = _links_df(spark, sf_dir).filter(
+        ~F.col("is_js") & ~F.col("nofollow")
+        & (F.col("tgt_host") == F.col("src_host"))
+    )
+    hop1 = l.filter(F.col("doc_id") < 40).select(
+        F.col("xpath").alias("xp1"), F.col("tgt").alias("mid")
+    )
+    hop2 = l.select(F.col("doc_id").alias("mid"), F.col("xpath").alias("xp2"))
+    plans = (
+        hop1.join(hop2, "mid")
+        .select(F.array("xp1", "xp2").alias("actions"))
+        .distinct()
+    )
+    pg = spark.createDataFrame(
+        [(list(k), xp, list(on), list(av)) for k, xp, on, av in FIXSEQ_PAGING],
+        "key array<string>, pxp string, ponly array<string>, "
+        "pavoid array<string>",
+    )
+    refs = spark.createDataFrame(
+        [(x, list(on), list(av)) for x, on, av in FIXSEQ_REFS],
+        "fxp string, ronly array<string>, ravoid array<string>",
+    )
+    empty = F.array().cast("array<string>")
+    p = plans.join(
+        F.broadcast(refs),
+        F.element_at("actions", -1) == F.col("fxp"),
+        "left",
+    ).select(
+        "actions",
+        F.coalesce("ronly", empty).alias("ronly"),
+        F.coalesce("ravoid", empty).alias("ravoid"),
+    )
+    match = (
+        (
+            F.slice(F.col("actions"), 1, F.size("key") + 1)
+            == F.concat(F.col("key"), F.array(F.col("pxp")))
+        )
+        & (F.col("ronly") == F.col("ponly"))
+        & (F.col("ravoid") == F.col("pavoid"))
+    )
+    out = (
+        p.crossJoin(F.broadcast(pg))
+        .groupBy("actions")
+        .agg(F.max(match).alias("stripped"))
+    )
+    return out.select(
+        F.element_at("actions", 1).alias("xp1"),
+        F.element_at("actions", 2).alias("xp2"),
+        "stripped",
+    )
+
+
+def q_paging_model_learn(spark, sf_dir):
+    """Per-source pagination model LEARNING (detect-pagination
+    :paging-actions + :refine, corpus.clj:123-217; refine-action
+    corpus.clj:92-120) over the static link graph: digit-anchored links
+    into fetched targets, page-signature cosine similarity (threshold
+    0.8 splits same-parity page profiles [muscle] from cross-parity
+    [fat] non-vacuously), argmax-by-cosine paging xpath per source
+    action-seq, and the modal per-source {:only :avoid} token
+    refinement. Arrays flattened to strings for the hash compare.
+    Execution-side gates: crawl_paging_refined (chained CTE) +
+    tests/test_paging_model.py (exact parity)."""
+    from crawler_spark.operators.xpath_model import learn_paging_model
+
+    l = _links_df(spark, sf_dir).filter(
+        ~F.col("is_js") & (F.col("doc_id") < 300)
+    )
+    links = l.select(
+        _url_expr(F.col("doc_id"), F.col("doc_id") % N_HOSTS).alias("page_url"),
+        "xpath", "href", "text",
+    )
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    fetched = docs.select(
+        _url_expr(F.col("doc_id"), F.col("doc_id") % N_HOSTS).alias("page_url")
+    )
+    paths = docs.select(
+        _url_expr(F.col("doc_id"), F.col("doc_id") % N_HOSTS).alias("page_url"),
+        F.when(F.col("doc_id") % 5 == 0, F.array().cast("array<string>"))
+        .otherwise(
+            F.array(F.concat(F.lit("s"), (F.col("doc_id") % 3).cast("string")))
+        )
+        .alias("action_seq"),
+    )
+    out = learn_paging_model(links, paths, min_cosine=0.8, fetched=fetched)
+    return out.select(
+        F.concat_ws("/", "action_seq").alias("action_seq"),
+        "paging_xpath",
+        "cosine",
+        F.concat_ws(",", "only").alias("only"),
+        F.concat_ws(",", "avoid").alias("avoid"),
+    )
+
+
 # ---- engine-loop / multimodal queries ----
 # (every one of these has a hash oracle too — the engine crawls are
 # gated by chained multi-epoch CTE restatements below, the multimodal
@@ -1276,6 +1398,58 @@ def q_crawl_harvest_refined(spark, sf_dir):
         spark, sf_dir,
         model_xpaths=HARVEST_MODEL_XP, paging_xpaths=HARVEST_PAGING_XP,
         refine_avoid=REFINE_AVOID,
+    )
+
+
+# per-source pagination chain (detect-pagination :refine applied at
+# execution, crawl.clj:358-390): seeds are NON-ROOT docs (host-root doc
+# = host id is the xpnav digit target on this graph, d % 20), so paging
+# hops land on FRESH urls. The model: seed-level pages (path []) chase
+# xpnav digits with avoid-token '13' (kills 33/93 → 13 while 21→1,
+# 27→7, 45→5, 75→15 survive); depth-1 pages (path [xp2], i.e. 79→159)
+# chase xpnav unrefined (159→19 — a paging hop the seed-level entry's
+# key would never grant... and doc 75's xp0 digit-override link (→315)
+# matches NO entry and falls through to the content check (xp0 ∉ plan)
+# — the fall-through drop, exercised non-vacuously.
+PGM_SEED_DOCS = (21, 27, 33, 45, 75, 79, 93)
+PGM_DEPTH_SEQ = ("xp2",)
+PGM_MODEL = (
+    ((), "xpnav", (), ("13",)),
+    (("xp2",), "xpnav", (), ()),
+)
+
+
+def q_crawl_paging_refined(spark, sf_dir):
+    """E3 harvest with the PER-SOURCE pagination model (reference
+    detect-pagination :paging-actions + :refine, corpus.clj:123-217,
+    applied at crawl.clj:358-390), DRIVER-ORACLED: the engine keys the
+    paging action AND its {:only :avoid} refinement by the parent's
+    action path; the DuckDB twin restates the path lookup as a CASE on
+    plan depth (exact under a depth-indexed plan — path ≡ plan prefix).
+    The avoid token non-vacuously kills the 33/93→13 hops; the depth-1
+    entry non-vacuously grants 159→19. Exact synth-web parity gate:
+    tests/test_paging_model.py."""
+    import os
+    import tempfile
+
+    from crawler_spark.engine import CrawlEngine, EngineConfig
+
+    eng = CrawlEngine(
+        spark, _doc_corpus(spark, sf_dir), _doc_robots(spark),
+        EngineConfig(
+            max_epochs=N_CRAWL_EPOCHS, epoch_ms=CRAWL_EPOCH_MS,
+            checkpoint_dir=tempfile.mkdtemp(
+                dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+            ),
+            model_action_seq=PGM_DEPTH_SEQ, paging_model=PGM_MODEL,
+            commit_every=4, detailed_metrics=False,
+        ),
+    )
+    eng.run([f"http://host{d % N_HOSTS}.test/p/{d}" for d in PGM_SEED_DOCS])
+    return eng.crawl_order.select(
+        F.col("seq").cast("long").alias("seq"),
+        "url",
+        F.col("epoch").cast("long").alias("epoch"),
     )
 
 
@@ -1996,6 +2170,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_epoch": q_crawl_epoch,
         "crawl_harvest": q_crawl_harvest,
         "crawl_harvest_refined": q_crawl_harvest_refined,
+        "crawl_paging_refined": q_crawl_paging_refined,
+        "paging_model_learn": q_paging_model_learn,
+        "fix_model_seqs": q_fix_model_seqs,
         "crawl_ttl": q_crawl_ttl,
         "crawl_depth_indexed": q_crawl_depth_indexed,
         "crawl_multiseq": q_crawl_multiseq,
@@ -2030,7 +2207,9 @@ def _ttl_cte(k: int, ttl: int | None, p: str = "", mat: str = "") -> str:
 
 
 def _crawl_chain_sql(mode: str, epochs: int | None = None,
-                     ttl: int | None = None) -> str:
+                     ttl: int | None = None, seed_docs: tuple | None = None,
+                     action_seq: tuple | None = None,
+                     pgm: tuple | None = None) -> str:
     """Chained multi-epoch DuckDB restatement of the engine crawl loop
     (sequential-oracle semantics, crawler_spark/oracle.py; reference
     crawl.clj:46-198): per epoch — robots drop, dual-queue per-host
@@ -2053,8 +2232,9 @@ def _crawl_chain_sql(mode: str, epochs: int | None = None,
     then legitimately contains the same url at two seqs."""
     epochs = N_CRAWL_EPOCHS if epochs is None else epochs
     parts = [
-        _chain_header(),
-        _chain_epoch_blocks(mode, epochs, ttl=ttl),
+        _chain_header(seed_docs=seed_docs),
+        _chain_epoch_blocks(mode, epochs, ttl=ttl, action_seq=action_seq,
+                            pgm=pgm),
     ]
     union = " UNION ALL ".join(f"SELECT * FROM ord{i}" for i in range(epochs))
     parts.append(f"""
@@ -2065,7 +2245,8 @@ FROM all_ord""")
 
 
 def _chain_header(materialize: bool = False, links_cte: str | None = None,
-                  recursive: bool = False) -> str:
+                  recursive: bool = False,
+                  seed_docs: tuple | None = None) -> str:
     """Shared WITH header for every crawl-chain restatement: the link
     arithmetic + the seed frontier rows. ``materialize`` marks the
     shared CTEs MATERIALIZED — required by the multi-chain multiseq
@@ -2091,7 +2272,7 @@ seeds AS {mat}(
          'content' AS queue, CAST(NULL AS VARCHAR) AS src_xpath,
          0 AS depth
   FROM documents d
-  WHERE d.doc_id IN ({", ".join(str(x) for x in CRAWL_SEED_DOCS)})),"""
+  WHERE d.doc_id IN ({", ".join(str(x) for x in (seed_docs or CRAWL_SEED_DOCS))})),"""
     )
 
 
@@ -2126,6 +2307,7 @@ def _chain_epoch_blocks(
     budget: str | None = None,
     materialize: bool = False,
     exemplar: float | None = None,
+    pgm: tuple | None = None,
 ) -> str:
     """The per-epoch CTE blocks of ONE crawl chain (no WITH header, no
     final select). Every chain-local CTE name carries prefix ``p`` so
@@ -2155,9 +2337,35 @@ def _chain_epoch_blocks(
             f"CASE WHEN {keep_paging} THEN 'paging' ELSE 'content' END"
         )
     elif depth_mode:
-        pg = ", ".join(f"'{x}'" for x in HARVEST_PAGING_XP)
-        keep_paging = f"({is_digit} AND l.xpath IN ({pg}))"
         seq_xp = DEPTH_ACTION_SEQ if action_seq is None else action_seq
+        if pgm is not None:
+            # per-source pagination (EngineConfig.paging_model, reference
+            # crawl.clj:358-390): under a depth-indexed plan the parent's
+            # action path IS the plan prefix of length depth (content
+            # hops follow exactly action_seq[depth]; paging hops keep the
+            # parent's path), so the engine's path-array keyed lookup
+            # restates EXACTLY as a CASE on s.depth. Each entry's
+            # refinement gates the hop on the target's url path tokens
+            # (['p', tgt] on this graph); a failed link falls through to
+            # the content check, as in the engine.
+            arms = []
+            for key, xp, only, avoid in pgm:
+                assert tuple(key) == tuple(seq_xp[: len(key)]), (
+                    "pgm keys must be plan prefixes for the depth "
+                    "restatement to hold"
+                )
+                cond = f"(s.depth = {len(key)} AND l.xpath = '{xp}'"
+                toks = "['p', CAST(l.tgt AS VARCHAR)]"
+                for t in avoid:
+                    cond += f" AND NOT list_contains({toks}, '{t}')"
+                if only:
+                    anyof = ", ".join(f"'{t}'" for t in only)
+                    cond += f" AND list_has_any({toks}, [{anyof}])"
+                arms.append(cond + ")")
+            keep_paging = f"({is_digit} AND ({' OR '.join(arms)}))"
+        else:
+            pg = ", ".join(f"'{x}'" for x in HARVEST_PAGING_XP)
+            keep_paging = f"({is_digit} AND l.xpath IN ({pg}))"
         action = "CASE s.depth " + " ".join(
             f"WHEN {d} THEN '{xp}'" for d, xp in enumerate(seq_xp)
         ) + " END"
@@ -3162,6 +3370,114 @@ def oracle_sql() -> dict[str, str]:
     sqls["crawl_epoch"] = _crawl_chain_sql("plain")
     sqls["crawl_harvest"] = _crawl_chain_sql("harvest")
     sqls["crawl_harvest_refined"] = _crawl_chain_sql("harvest_refined")
+    sqls["crawl_paging_refined"] = _crawl_chain_sql(
+        "depth", seed_docs=PGM_SEED_DOCS, action_seq=PGM_DEPTH_SEQ,
+        pgm=PGM_MODEL,
+    )
+    # 1:1 restatement of operators.xpath_model.learn_paging_model over
+    # the same bounded link graph: signatures → pair cosines (missing
+    # dot/norm rows coalesce to 0 — zero-overlap targets are fat, not
+    # absent) → argmax winner per seq → per-source token incidence →
+    # modal refinement (ties: count desc, only asc, avoid asc)
+    sqls["paging_model_learn"] = f"""
+        WITH {_LINKS_CTE.strip().lstrip("WITH").strip()},
+        pages AS (
+          SELECT doc_id, 'http://host' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+                 || '.test/p/' || CAST(doc_id AS VARCHAR) AS page_url
+          FROM documents WHERE doc_id < 300),
+        l AS (
+          SELECT 'http://host' || CAST(src_host AS VARCHAR) || '.test/p/'
+                 || CAST(doc_id AS VARCHAR) AS page_url,
+                 xpath, href, text, tgt
+          FROM links2 WHERE NOT is_js AND doc_id < 300),
+        -- seq carried as its '/'-joined STRING form throughout: DuckDB
+        -- mis-partitions empty-list keys (observed: two rn=1 rows in one
+        -- [] partition) and array_to_string([]) is NULL, so the scalar
+        -- key is both correct and what the final column needs anyway
+        paths AS (
+          SELECT page_url,
+                 CASE WHEN doc_id % 5 = 0 THEN ''
+                      ELSE 's' || CAST(doc_id % 3 AS VARCHAR) END AS seq
+          FROM pages),
+        digits AS (
+          SELECT page_url, xpath, href FROM l
+          WHERE regexp_full_match(coalesce(text, ''), '[0-9]+')
+            AND tgt < 300),
+        sigent AS (
+          SELECT page_url, xpath AS k, CAST(COUNT(*) AS DOUBLE) AS v
+          FROM l GROUP BY 1, 2),
+        norms AS (
+          SELECT page_url, sqrt(SUM(v * v)) AS nrm FROM sigent GROUP BY 1),
+        pairs AS (SELECT DISTINCT page_url AS pa, href AS pb FROM digits),
+        dots AS (
+          SELECT p.pa, p.pb, SUM(ea.v * eb.v) AS dot
+          FROM pairs p
+          JOIN sigent ea ON ea.page_url = p.pa
+          JOIN sigent eb ON eb.page_url = p.pb AND eb.k = ea.k
+          GROUP BY 1, 2),
+        sims AS (
+          SELECT p.pa, p.pb,
+                 CASE WHEN coalesce(na.nrm, 0) > 0 AND coalesce(nb.nrm, 0) > 0
+                      THEN coalesce(d.dot, 0) / (na.nrm * nb.nrm)
+                      ELSE 0 END AS cosine
+          FROM pairs p
+          LEFT JOIN dots d ON d.pa = p.pa AND d.pb = p.pb
+          LEFT JOIN norms na ON na.page_url = p.pa
+          LEFT JOIN norms nb ON nb.page_url = p.pb),
+        labeled AS (
+          SELECT g.page_url, g.xpath, g.href, s.cosine, pt.seq,
+                 s.cosine >= 0.8 AS sim
+          FROM digits g
+          JOIN sims s ON s.pa = g.page_url AND s.pb = g.href
+          JOIN paths pt ON pt.page_url = g.page_url),
+        per_pair AS (
+          SELECT seq, xpath, MAX(cosine) AS cosine
+          FROM labeled WHERE sim GROUP BY 1, 2),
+        winners AS (
+          SELECT seq, xpath, cosine FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY seq ORDER BY cosine DESC, xpath ASC) AS rn
+            FROM per_pair) WHERE rn = 1),
+        at_w AS (
+          SELECT lb.* FROM labeled lb
+          JOIN winners w ON w.seq = lb.seq AND w.xpath = lb.xpath),
+        toks AS (
+          SELECT seq, xpath, page_url, sim, t.tok
+          FROM at_w, unnest(string_split(
+              regexp_replace(href, '^[a-zA-Z]+://[^/]*/', ''), '/')) AS t(tok)
+          WHERE t.tok <> ''),
+        inc AS (
+          SELECT seq, xpath, page_url, tok,
+                 MAX(CASE WHEN sim THEN 1 ELSE 0 END) AS im,
+                 MAX(CASE WHEN sim THEN 0 ELSE 1 END) AS ifat
+          FROM toks GROUP BY 1, 2, 3, 4),
+        -- refinements also carried as ','-joined strings: equality and
+        -- lexicographic order match Spark's array semantics because ','
+        -- sorts below the token alphabet (digits + 'p')
+        per_src AS (
+          SELECT seq, xpath, page_url,
+                 coalesce(array_to_string(list_sort(list(DISTINCT tok)
+                     FILTER (WHERE im = 1 AND ifat = 0)), ','), '') AS only_s,
+                 coalesce(array_to_string(list_sort(list(DISTINCT tok)
+                     FILTER (WHERE ifat = 1 AND im = 0)), ','), '') AS avoid_s
+          FROM inc GROUP BY 1, 2, 3),
+        modal AS (
+          SELECT seq, xpath, only_s, avoid_s, COUNT(*) AS n
+          FROM per_src GROUP BY 1, 2, 3, 4),
+        chosen AS (
+          SELECT seq, xpath, only_s, avoid_s FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY seq, xpath
+                ORDER BY n DESC, only_s ASC, avoid_s ASC) AS rn
+            FROM modal) WHERE rn = 1)
+        SELECT w.seq AS action_seq,
+               w.xpath AS paging_xpath,
+               ROUND(w.cosine, 4) AS cosine,
+               c.only_s AS "only",
+               c.avoid_s AS "avoid"
+        FROM winners w
+        JOIN chosen c ON c.seq = w.seq AND c.xpath = w.xpath
+    """
     sqls["crawl_ttl"] = _crawl_chain_sql(
         "plain", epochs=TTL_CRAWL_EPOCHS, ttl=TTL_EPOCHS
     )
@@ -3183,6 +3499,28 @@ def oracle_sql() -> dict[str, str]:
                  AS leaf_yield
         FROM hop1 h1 JOIN hop2 h2 ON h1.mid = h2.mid
         GROUP BY h1.xp1, h2.xp2
+    """
+    # fix_model_seqs twin: the Spark side states the rule generically
+    # (array slice == key+[pxp], refinement array equality); here the
+    # three literal entries unroll to string predicates on (xp1, xp2).
+    # Plan refinement = final action's entry in FIXSEQ_REFS (only xp1
+    # carries one, avoid ['9']): entry 1 (key (), ref empty) strips
+    # plans starting xpnav UNLESS the final action is xp1; entry 2 strips
+    # exactly (xp2, xpnav); entry 3 requires ref ((), ('9')) on a final
+    # xpnav — ref('xpnav') is empty, so it never strips (stated for the
+    # auditor, folded out of the predicate).
+    sqls["fix_model_seqs"] = f"""
+        WITH {_LINKS_CTE.strip().lstrip('WITH').strip()},
+        l AS (SELECT * FROM links2
+              WHERE NOT is_js AND NOT nofollow AND tgt_host = src_host),
+        hop1 AS (SELECT xpath AS xp1, tgt AS mid FROM l WHERE doc_id < 40),
+        hop2 AS (SELECT doc_id AS mid, xpath AS xp2 FROM l),
+        plans AS (SELECT DISTINCT h1.xp1, h2.xp2
+                  FROM hop1 h1 JOIN hop2 h2 ON h1.mid = h2.mid)
+        SELECT xp1, xp2,
+               ((xp1 = 'xpnav' AND xp2 <> 'xp1')
+                OR (xp1 = 'xp2' AND xp2 = 'xpnav')) AS stripped
+        FROM plans
     """
     _ex_letters = "abcdefghijklmnopqrstuvwxyz"
     _ex_counts = ", ".join(

@@ -258,6 +258,37 @@ def cmd_learn_model(args) -> int:
     refinements = [
         r.asDict() for r in refine_xpaths(labeled).orderBy("xpath").collect()
     ]
+    # per-source pagination model (detect-pagination :paging-actions +
+    # :refine, corpus.clj:123-217): per source action-seq (crawl_order
+    # path — exemplar samples were downloaded but never expanded, so
+    # they have no realized path and can only be TARGET evidence),
+    # argmax-by-cosine paging xpath + modal {:only :avoid} over target
+    # url tokens. links_t keeps anchor TEXT (the digit gate) where
+    # _labeled_links drops it.
+    from crawler_spark.canon import canonicalize_expr
+    from crawler_spark.operators.xpath_model import learn_paging_model
+
+    links_t = (
+        fetched.select("url", F.explode("out_links").alias("l"))
+        .select(
+            F.col("url").alias("page_url"),
+            F.col("l.xpath").alias("xpath"),
+            canonicalize_expr(F.col("l.href"), F.col("url")).alias("href"),
+            F.col("l.text").alias("text"),
+        )
+        .filter(F.col("href").isNotNull())
+    )
+    paging_model = [
+        {"action_seq": list(r.action_seq), "paging_xpath": r.paging_xpath,
+         "cosine": r.cosine, "only": list(r.only), "avoid": list(r.avoid)}
+        for r in learn_paging_model(
+            links_t,
+            order.select(
+                F.col("url").alias("page_url"), F.col("path").alias("action_seq")
+            ),
+            fetched=fetched.select(F.col("url").alias("page_url")),
+        ).orderBy("action_seq").collect()
+    ]
     # the model's :actions — frequencies of the full action PATH per
     # crawled leaf page (crawl.clj:108 `(frequencies leaf-paths)` over
     # src-path). These are the many action sequences execute-model
@@ -284,6 +315,7 @@ def cmd_learn_model(args) -> int:
     model = {
         "leaf_xpath_freqs": [r.asDict() for r in leaf_links.collect()],
         "pagination_xpaths": [r.asDict() for r in paging_xpaths.collect()],
+        "paging_model": paging_model,
         "refinements": refinements,
         "action_seqs": action_seqs,
     }
@@ -291,7 +323,8 @@ def cmd_learn_model(args) -> int:
         json.dump(model, f, indent=2)
     print(json.dumps({"written": args.out,
                       "n_leaf_xpaths": len(model["leaf_xpath_freqs"]),
-                      "n_paging_xpaths": len(model["pagination_xpaths"])}))
+                      "n_paging_xpaths": len(model["pagination_xpaths"]),
+                      "n_paging_model": len(paging_model)}))
     if owned:
         spark.stop()
     return 0
@@ -368,26 +401,60 @@ def cmd_fix_model(args) -> int:
         ]
 
     # action SEQUENCES are stripped by the reference's shadowing rule
-    # (remove-pagination-from-actions, corpus.clj:409-438): a plan is
-    # removed when it does exactly what the pagination automaton already
-    # does. Under our executor — where pagination runs ALONGSIDE every
-    # executed plan — that collapses to dropping plans consisting
-    # SOLELY of pagination actions (a pure-pagination plan yields
-    # nothing the paging queue doesn't already chase); mixed plans keep
-    # their content value. Driver-side list math — the model JSON is
-    # tiny.
-    paging_set = {
-        r["src_xpath"] for r in model.get("pagination_xpaths", [])
-        if r.get("src_xpath")
-    }
-    fixed_seqs = [
-        s for s in model.get("action_seqs", [])
-        if not all(a in paging_set for a in s["actions"])
-    ]
+    # (remove-pagination-from-actions, corpus.clj:409-438). The intended
+    # rule (the reference's own `some` where `every?` was meant is
+    # documented at xpath_model.strip_pagination_shadowed): a plan is
+    # shadowed by a learned per-source paging entry [src-seq paging-axn]
+    # when the plan's chronological PREFIX equals src-seq + [paging-axn]
+    # (the reference stores paths most-recent-first, so its "suffix"
+    # comparison via take-on-reverse IS the chronological prefix) AND
+    # the plan's refinement — keyed by its FINAL action, the reference's
+    # refined[[path-taken path-to-take]] — equals the paging entry's
+    # {:only :avoid}. Shadowed plans re-walk what the pagination
+    # automaton chases on its own. Compared against the ORIGINAL model
+    # refinements (the reference fixes restrictions in a separate pass).
+    # Driver-side list math — the model JSON is tiny.
+    pm = model.get("paging_model", [])
+    if pm:
+        orig_ref = {
+            r["xpath"]: (sorted(r.get("only", [])), sorted(r.get("avoid", [])))
+            for r in model.get("refinements", [])
+        }
+
+        def _shadowed(s):
+            acts = list(s["actions"])
+            plan_ref = orig_ref.get(acts[-1], ([], [])) if acts else ([], [])
+            for e in pm:
+                danger = list(e["action_seq"]) + [e["paging_xpath"]]
+                if acts[: len(danger)] == danger and plan_ref == (
+                    sorted(e.get("only", [])), sorted(e.get("avoid", []))
+                ):
+                    return True
+            return False
+
+        fixed_seqs = [
+            s for s in model.get("action_seqs", []) if not _shadowed(s)
+        ]
+    else:
+        # pre-paging-model JSONs: the global-set collapse — under our
+        # executor pagination runs ALONGSIDE every plan, so only plans
+        # consisting SOLELY of pagination actions duplicate the paging
+        # queue; mixed plans keep their content value
+        paging_set = {
+            r["src_xpath"] for r in model.get("pagination_xpaths", [])
+            if r.get("src_xpath")
+        }
+        fixed_seqs = [
+            s for s in model.get("action_seqs", [])
+            if not all(a in paging_set for a in s["actions"])
+        ]
     fixed = {
         "fixed": True,
         "leaf_xpath_freqs": fixed_actions,
         "pagination_xpaths": model.get("pagination_xpaths", []),
+        # pagination refinements are trusted always (model.clj:49-50) —
+        # the per-source paging model passes through un-probed
+        "paging_model": pm,
         "refinements": fixed_refinements,
         "action_seqs": fixed_seqs,
     }
@@ -431,6 +498,18 @@ def cmd_execute_model(args) -> int:
         r["src_xpath"] for r in model.get("pagination_xpaths", [])
         if r.get("src_xpath")
     )
+    # per-source paging model: when the model carries one, it REPLACES
+    # the global paging-xpath set (the reference executor keys both the
+    # paging action and its refinement by the parent's action seq,
+    # crawl.clj:358-390). Unaffected by --no-refine: pagination
+    # refinements are trusted always (model.clj:49-50).
+    paging_model = tuple(
+        (tuple(e["action_seq"]), e["paging_xpath"],
+         tuple(e.get("only", [])), tuple(e.get("avoid", [])))
+        for e in model.get("paging_model", [])
+    )
+    if paging_model:
+        paging = ()
     # learned refinements ride the model JSON; only non-empty token
     # lists matter at execution time. :only restricts (keep links whose
     # href path carries an only-token, dom.clj:603-615) and is applied
@@ -488,6 +567,7 @@ def cmd_execute_model(args) -> int:
             max_epochs=args.epochs, epoch_ms=args.epoch_ms,
             leaf_limit=args.harvest_budget,
             refine_avoid=refine_avoid, refine_only=refine_only,
+            paging_model=paging_model,
         )
         order = res.crawl_order()
         harvested = 0
@@ -521,6 +601,7 @@ def cmd_execute_model(args) -> int:
         model_xpaths=None if args.depth_indexed else actions,
         model_action_seq=actions if args.depth_indexed else None,
         paging_xpaths=paging,
+        paging_model=paging_model,
         refine_avoid=refine_avoid,
         refine_only=refine_only,
     )

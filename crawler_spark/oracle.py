@@ -68,6 +68,7 @@ def crawl_oracle(
     content_dup_stop: int | None = None,
     model_xpaths: set | None = None,
     paging_xpaths: set = frozenset(),
+    paging_model: dict | None = None,
     model_action_seq: list | None = None,
     refine_avoid: dict | None = None,
     refine_only: dict | None = None,
@@ -223,11 +224,37 @@ def crawl_oracle(
                 if host_of(cu) != page["host"]:  # same-host predicate
                     continue
                 is_digit = bool(re.match("^[0-9]+$", link["text"] or ""))
+
+                def per_source_paging():
+                    # per-source pagination (EngineConfig.paging_model;
+                    # reference crawl.clj:358-390): the paging action
+                    # and its {:only :avoid} refinement are keyed by
+                    # the PARENT's action path; a refinement-failed
+                    # link falls through to content eligibility
+                    ent = paging_model.get(tuple(entry.get("path", ())))
+                    if ent is None or link["xpath"] != ent[0]:
+                        return False
+                    toks = [
+                        t for t in
+                        re.sub(r"^[a-zA-Z]+://[^/]*/", "", cu).split("/")
+                        if t
+                    ]
+                    _xp, only, avoid = ent
+                    if any(t in avoid for t in toks):
+                        return False
+                    if only and not any(t in only for t in toks):
+                        return False
+                    return True
+
                 if model_action_seq is not None:
                     # depth-indexed plan (xpath-to-pick, crawl.clj:200-202):
                     # the page's depth selects the one content action;
                     # past the last step nothing expands
-                    is_paging = is_digit and link["xpath"] in paging_xpaths
+                    is_paging = is_digit and (
+                        per_source_paging()
+                        if paging_model is not None
+                        else link["xpath"] in paging_xpaths
+                    )
                     d = entry.get("depth", 0)
                     action = (
                         model_action_seq[d] if d < len(model_action_seq) else None
@@ -239,7 +266,11 @@ def crawl_oracle(
                     # E3 harvest: model-inapplicable links are dropped
                     # after same-host, before the seen check (not dups —
                     # outside the plan)
-                    is_paging = is_digit and link["xpath"] in paging_xpaths
+                    is_paging = is_digit and (
+                        per_source_paging()
+                        if paging_model is not None
+                        else link["xpath"] in paging_xpaths
+                    )
                     if not is_paging and link["xpath"] not in model_xpaths:
                         continue
                     queue = "paging" if is_paging else "content"

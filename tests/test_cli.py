@@ -446,3 +446,76 @@ def test_cli_execute_model_depth_indexed_and_no_refine(spark, tmp_path, capsys):
     assert out["refine_avoid"] == []
     assert len(out["actions"]) == 2
     assert out["manifest"]["dequeue_seq"] > 0
+
+
+def test_cli_paging_model_e2e(spark, tmp_path, capsys):
+    """Per-source paging through the whole CLI pipeline: learn-model
+    emits a well-formed paging_model; fix-model strips a MIXED
+    suffix-shadowed plan (corpus.clj:409-438 intended rule — prefix
+    match + refinement equality) while keeping a refinement-mismatched
+    twin, carries paging_model through un-probed, and the fixed model
+    executes with the per-source entries in effect."""
+    seeds_file = tmp_path / "seeds.txt"
+    seeds_file.write_text("http://host0.test/p/0/img-42-00000000\n")
+    ck = tmp_path / "ck"
+    assert cli.main([
+        "crawl", "--seeds", str(seeds_file), "--checkpoint", str(ck),
+        "--synth-pages", "300", "--synth-hosts", "10",
+        "--epochs", "3", "--epoch-ms", "8000",
+    ]) == 0
+    capsys.readouterr()
+    model_path = tmp_path / "model.json"
+    assert cli.main([
+        "learn-model", "--checkpoint", str(ck),
+        "--synth-pages", "300", "--synth-hosts", "10",
+        "--out", str(model_path),
+    ]) == 0
+    capsys.readouterr()
+    model = json.loads(model_path.read_text())
+    assert "paging_model" in model
+    for e in model["paging_model"]:
+        assert set(e) >= {"action_seq", "paging_xpath", "only", "avoid"}
+
+    # tamper: a per-source paging entry + three plans — the mixed plan
+    # whose chronological prefix re-walks (seq A → paging B) with a
+    # MATCHING (empty) refinement is shadowed; the same-prefix plan
+    # whose final action carries a different refinement survives; the
+    # unrelated plan survives
+    model["paging_model"] = [
+        {"action_seq": ["A"], "paging_xpath": "B", "cosine": 1.0,
+         "only": [], "avoid": []},
+    ]
+    model["action_seqs"] = [
+        {"actions": ["A", "B", "C"], "yield": 3},   # shadowed (mixed!)
+        {"actions": ["A", "B"], "yield": 2},        # ref mismatch → kept
+        {"actions": ["C", "A"], "yield": 1},        # no prefix → kept
+    ]
+    model["refinements"] = [{"xpath": "B", "only": [], "avoid": ["z"]}]
+    model_path.write_text(json.dumps(model))
+    fixed_path = tmp_path / "fixed.json"
+    assert cli.main([
+        "fix-model", "--model", str(model_path), "--checkpoint", str(ck),
+        "--synth-pages", "300", "--synth-hosts", "10",
+        "--out", str(fixed_path),
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    fixed = json.loads(fixed_path.read_text())
+    kept = [tuple(s["actions"]) for s in fixed["action_seqs"]]
+    assert ("A", "B", "C") not in kept
+    assert ("A", "B") in kept and ("C", "A") in kept
+    assert rep["seqs_stripped"] == 1
+    # pagination refinements are trusted always — carried, not re-probed
+    assert fixed["paging_model"] == model["paging_model"]
+
+    # the fixed model executes with per-source paging in effect
+    assert cli.main([
+        "execute-model", "--model", str(fixed_path),
+        "--seeds", str(seeds_file), "--checkpoint", str(tmp_path / "ck2"),
+        "--synth-pages", "300", "--synth-hosts", "10",
+        "--epochs", "3", "--epoch-ms", "8000",
+        "--top-actions", "2", "--harvest-budget", "20",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["manifest"]["dequeue_seq"] > 0
+    # per-source mode replaces the global paging-xpath set
+    assert out["paging_xpaths"] == []
