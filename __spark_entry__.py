@@ -1093,24 +1093,38 @@ def q_fix_model_seqs(spark, sf_dir):
         F.coalesce("ronly", empty).alias("ronly"),
         F.coalesce("ravoid", empty).alias("ravoid"),
     )
-    match = (
-        (
-            F.slice(F.col("actions"), 1, F.size("key") + 1)
-            == F.concat(F.col("key"), F.array(F.col("pxp")))
+    # prefix-match as an EQUI-join: each plan explodes to its
+    # chronological prefixes, each paging entry computes its danger
+    # sequence (key + [paging action]) — the join key is the array
+    # itself. No nested loop anywhere (at real model sizes both sides
+    # are tiny, but the rule's relational shape shouldn't depend on it).
+    pref = p.select(
+        "actions", "ronly", "ravoid",
+        F.explode(F.sequence(F.lit(1), F.size("actions"))).alias("n"),
+    ).select(
+        "actions", "ronly", "ravoid",
+        F.slice("actions", F.lit(1), F.col("n")).alias("prefix"),
+    )
+    danger = pg.select(
+        F.concat("key", F.array(F.col("pxp"))).alias("prefix"),
+        "ponly", "pavoid",
+    )
+    shadowed = (
+        pref.join(F.broadcast(danger), "prefix")
+        .filter(
+            (F.col("ronly") == F.col("ponly"))
+            & (F.col("ravoid") == F.col("pavoid"))
         )
-        & (F.col("ronly") == F.col("ponly"))
-        & (F.col("ravoid") == F.col("pavoid"))
+        .select("actions")
+        .distinct()
+        .withColumn("stripped", F.lit(True))
     )
-    out = (
-        p.crossJoin(F.broadcast(pg))
-        .groupBy("actions")
-        .agg(F.max(match).alias("stripped"))
-    )
-    return out.select(
+    out = plans.join(F.broadcast(shadowed), "actions", "left").select(
         F.element_at("actions", 1).alias("xp1"),
         F.element_at("actions", 2).alias("xp2"),
-        "stripped",
+        F.coalesce("stripped", F.lit(False)).alias("stripped"),
     )
+    return out
 
 
 def q_paging_model_learn(spark, sf_dir):
