@@ -2080,8 +2080,9 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_lsh_ann_topk(spark, sf_dir):
-    """LSH-bucketed approximate nearest neighbors (rows-only; recall vs
-    brute force asserted in tests/test_similarity.py)."""
+    """LSH-bucketed approximate nearest neighbors (hash-oracled: the
+    DuckDB twin restates the same hyperplane buckets; recall vs brute
+    force additionally asserted in tests/test_similarity.py)."""
     from crawler_spark.operators.similarity import lsh_ann_topk
 
     emb = _read(spark, sf_dir, "embeddings").select(

@@ -574,7 +574,10 @@ def cmd_execute_model(args) -> int:
         if order is not None:
             harvested = (
                 corpus.join(
-                    F.broadcast(order.select("url").distinct()),
+                    # no broadcast hint: crawl_order is unbounded (the
+                    # sustained run alone is ~194k rows) — let AQE pick
+                    # the strategy for this one-off reporting count
+                    order.select("url").distinct(),
                     "url", "left_semi",
                 )
                 .filter(F.col("is_leaf"))
@@ -608,7 +611,8 @@ def cmd_execute_model(args) -> int:
     eng = CrawlEngine(spark, corpus, robots, cfg)
     manifest = eng.run(seeds)
     harvested = (
-        corpus.join(F.broadcast(eng.crawl_order.select("url")), "url", "left_semi")
+        # no broadcast hint: crawl_order is unbounded — AQE decides
+        corpus.join(eng.crawl_order.select("url"), "url", "left_semi")
         .filter(F.col("is_leaf"))
         .count()
     )
