@@ -2181,7 +2181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_data_pipeline": q_training_data_pipeline,
         "pagination_detect": q_pagination_detect,
         "dedup_clusters": q_dedup_clusters,
-        # engine / multimodal (rows-only)
+        # engine / multimodal (all hash-oracled via chained CTEs /
+        # deterministic-decoder twins since rounds 3-4)
         "crawl_epoch": q_crawl_epoch,
         "crawl_harvest": q_crawl_harvest,
         "crawl_harvest_refined": q_crawl_harvest_refined,

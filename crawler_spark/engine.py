@@ -463,6 +463,12 @@ class CrawlEngine:
             ).groupBy("alias_url").agg(F.min("final_url").alias("final_url"))
             self._alias_map = amap
         self.robots = robots
+        # robots is per-HOST: tiny on most crawls, but at the 10^10-URL
+        # design point (10^7-10^8 live hosts) it crosses the same
+        # broadcast ceiling the epoch-batch joins guard against. One
+        # count at first dequeue (robots is static for the run) decides
+        # broadcast-vs-shuffle-hash for every epoch's robots joins.
+        self._robots_bcast: bool | None = None
         self.ckpt = self.cfg.checkpoint_dir or tempfile.mkdtemp(prefix="crawl-ckpt-")
         os.makedirs(self.ckpt, exist_ok=True)
         self._state: dict = {}
@@ -936,9 +942,15 @@ class CrawlEngine:
         n_pending_hint = self._manifest.get("pending")
         if n_pending_hint is None:  # resumed from a pre-"pending" manifest
             n_pending_hint = frontier.count()
+        if self._robots_bcast is None:
+            self._robots_bcast = (
+                self.robots.count() <= cfg.broadcast_max_rows
+            )
         obs_flag = Observation()
         flagged = (
-            politeness.with_disallowed_flag(frontier, self.robots)
+            politeness.with_disallowed_flag(
+                frontier, self.robots, bcast=self._robots_bcast
+            )
             .observe(
                 obs_flag,
                 F.count(F.lit(1)).alias("n"),
@@ -951,7 +963,7 @@ class CrawlEngine:
         allowed = flagged.filter(~F.col("__disallowed")).drop("__disallowed")
         selected_raw, rest = politeness.dequeue(
             allowed, self.robots, cfg.epoch_ms,
-            approx_rows=n_pending_hint,
+            approx_rows=n_pending_hint, bcast=self._robots_bcast,
         )
         obs_sel = Observation()
         selected_raw = selected_raw.observe(obs_sel, F.count(F.lit(1)).alias("n"))

@@ -27,13 +27,31 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def with_disallowed_flag(frontier: DataFrame, robots: DataFrame) -> DataFrame:
-    """Pending frontier rows + ``__disallowed`` flag from the broadcast
-    robots table's disallow prefixes (one pass; callers split/count with
-    a single aggregate instead of two filter jobs)."""
+def _robots_side(robots: DataFrame, cols: list, bcast: bool) -> DataFrame:
+    """Robots build side for the per-host joins. The robots table is
+    per-HOST — bounded by live-host cardinality, not URL count — so it
+    broadcasts by default; at the 10^10-URL design point (10^7-10^8
+    hosts, disallow-prefix arrays) a forced broadcast would hit the same
+    ceiling the epoch-batch joins guard against, so callers that know
+    the table is big (engine: one cached count vs
+    ``EngineConfig.broadcast_max_rows``) pass ``bcast=False`` and the
+    join falls back to hashing the robots side under the frontier's
+    existing host partitioning — strategy only, semantics untouched
+    (tests/test_broadcast_guard.py)."""
+    side = robots.select(*cols)
+    return F.broadcast(side) if bcast else side.hint("shuffle_hash")
+
+
+def with_disallowed_flag(
+    frontier: DataFrame, robots: DataFrame, bcast: bool = True
+) -> DataFrame:
+    """Pending frontier rows + ``__disallowed`` flag from the (size-
+    guarded, see ``_robots_side``) robots table's disallow prefixes
+    (one pass; callers split/count with a single aggregate instead of
+    two filter jobs)."""
     path = F.regexp_replace(F.col("url"), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
     joined = frontier.withColumn("__path", path).join(
-        F.broadcast(robots.select("host", "disallow_prefixes")), "host", "left"
+        _robots_side(robots, ["host", "disallow_prefixes"], bcast), "host", "left"
     )
     is_disallowed = F.exists(
         F.coalesce(F.col("disallow_prefixes"), F.array()),
@@ -44,9 +62,11 @@ def with_disallowed_flag(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     )
 
 
-def robots_filter(frontier: DataFrame, robots: DataFrame) -> tuple:
+def robots_filter(
+    frontier: DataFrame, robots: DataFrame, bcast: bool = True
+) -> tuple:
     """Split pending frontier rows into (allowed, disallowed)."""
-    flagged = with_disallowed_flag(frontier, robots)
+    flagged = with_disallowed_flag(frontier, robots, bcast=bcast)
     return (
         flagged.filter(~F.col("__disallowed")).drop("__disallowed"),
         flagged.filter(F.col("__disallowed")).drop("__disallowed"),
@@ -60,6 +80,7 @@ def dequeue(
     n_salts: int = 16,
     approx_rows: int | None = None,
     salted_threshold: int = 2_000_000,
+    bcast: bool = True,
 ) -> tuple:
     """(selected, rest): per-host quota window over the allowed pending
     rows. ``selected`` keeps frontier columns; global dequeue order is
@@ -108,7 +129,7 @@ def dequeue(
     ).otherwise(F.lit(0))
     helpers = ["__rn1", "__rn", "__quota", "__salt", "crawl_delay_ms"]
     pooled = pool.join(
-        F.broadcast(robots.select("host", "crawl_delay_ms")), "host", "left"
+        _robots_side(robots, ["host", "crawl_delay_ms"], bcast), "host", "left"
     ).withColumn("__quota", quota)
     w2 = Window.partitionBy("host").orderBy(
         depth_key.asc(), F.col("insertion_seq").asc()

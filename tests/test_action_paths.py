@@ -139,19 +139,44 @@ def test_learn_model_emits_action_seqs_and_multiseq_runs(
     fixed = json.loads(fixed_path.read_text())
     seqs = fixed["action_seqs"]
     assert seqs, "fix-model dropped every action sequence"
-    paging_set = {
-        r["src_xpath"] for r in fixed.get("pagination_xpaths", [])
-        if r.get("src_xpath")
-    }
-    # the strip is exactly the pure-pagination plans (shadowed outright
-    # — pagination runs alongside every executed plan)
-    pure_paging = [
-        s for s in raw_seqs if all(a in paging_set for a in s["actions"])
-    ]
-    assert len(seqs) == len(raw_seqs) - len(pure_paging)
-    assert all(
-        any(a not in paging_set for a in s["actions"]) for s in seqs
-    ), "a pure-pagination plan survived fix-model"
+    # the strip rule restated (reference remove-pagination-from-actions,
+    # corpus.clj:417-437): with a learned per-source paging model, a plan
+    # is shadowed iff its chronological prefix equals some src-seq +
+    # [paging-action] AND its refinement (keyed by its final action)
+    # equals that entry's {:only :avoid}; a pure-pagination plan that no
+    # per-source entry matches SURVIVES, as in the reference. Only
+    # pre-paging-model JSONs fall back to the global-set collapse. The
+    # rule's own correctness is hash-gated by the fix_model_seqs oracle;
+    # this pins the e2e wiring.
+    pm = fixed.get("paging_model", [])
+    if pm:
+        orig_ref = {
+            r["xpath"]: (sorted(r.get("only", [])), sorted(r.get("avoid", [])))
+            for r in model.get("refinements", [])
+        }
+
+        def _shadowed(s):
+            acts = list(s["actions"])
+            plan_ref = orig_ref.get(acts[-1], ([], [])) if acts else ([], [])
+            return any(
+                acts[: len(e["action_seq"]) + 1]
+                == list(e["action_seq"]) + [e["paging_xpath"]]
+                and plan_ref
+                == (sorted(e.get("only", [])), sorted(e.get("avoid", [])))
+                for e in pm
+            )
+
+        expect = [s for s in raw_seqs if not _shadowed(s)]
+    else:
+        paging_set = {
+            r["src_xpath"] for r in fixed.get("pagination_xpaths", [])
+            if r.get("src_xpath")
+        }
+        expect = [
+            s for s in raw_seqs
+            if not all(a in paging_set for a in s["actions"])
+        ]
+    assert seqs == expect
 
     budget = 12  # forces a mid-plan stop and (with several plans) skips
     ck2 = tmp_path / "ck2"
@@ -172,13 +197,27 @@ def test_learn_model_emits_action_seqs_and_multiseq_runs(
     cfg = SynthConfig(n_pages=n_pages, n_hosts=n_hosts, with_images=False)
     planned = plan_model([(tuple(s["actions"]), s["yield"]) for s in seqs])
     assert [tuple(r["actions"]) for r in out["runs"]] == planned
+    # mirror the CLI's paging wiring: a learned per-source paging model
+    # REPLACES the global paging-xpath set at execution (cli.py
+    # cmd_execute_model) — the oracle must follow or it chases one paging
+    # hop the engine's refinement drops (or vice versa)
     paging = tuple(
         r["src_xpath"] for r in fixed.get("pagination_xpaths", [])
         if r.get("src_xpath")
     )
+    pm_oracle = {
+        tuple(e["action_seq"]): (
+            e["paging_xpath"], tuple(e.get("only", [])),
+            tuple(e.get("avoid", [])),
+        )
+        for e in pm
+    }
+    if pm_oracle:
+        paging = ()
     want_runs, want_spent = multiseq_oracle(
         cfg, ["http://host0.test/p/0/img-42-00000000"], robots_rows(cfg),
         planned, budget, paging_xpaths=set(paging),
+        paging_model=pm_oracle or None,
         max_epochs=4, epoch_ms=8000, leaf_limit=200,
     )
     assert out["budget_spent"] == want_spent

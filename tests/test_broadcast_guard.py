@@ -77,6 +77,41 @@ def test_fallback_plan_has_no_broadcast(spark, web, tmp_path):
     assert "BroadcastHashJoin" in plan2, plan2
 
 
+def test_robots_fallback_plan_has_no_broadcast(spark, web, tmp_path):
+    """The robots table is per-host (10^7-10^8 rows at the design
+    point): with bcast=False both per-host robots joins must hash the
+    robots side instead of broadcasting it. The broadcast_max_rows=0
+    parity test above already proves the fallback's SEMANTICS (the
+    engine routes its cached robots-count decision through the same
+    flag); this pins the PLAN."""
+    from crawler_spark import politeness
+    from crawler_spark.plans import explain_str
+
+    cfg, corpus, robots = web
+    eng = CrawlEngine(
+        spark, corpus, robots,
+        EngineConfig(checkpoint_dir=str(tmp_path / "ckr"),
+                     broadcast_max_rows=0),
+    )
+    eng.init_seeds(seed_urls(cfg, 5))
+    frontier = eng._state["frontier"]
+    flagged = politeness.with_disallowed_flag(frontier, robots, bcast=False)
+    plan = explain_str(flagged)
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    sel, rest = politeness.dequeue(
+        flagged.filter(~F.col("__disallowed")).drop("__disallowed"),
+        robots, epoch_ms=8000, approx_rows=5, bcast=False,
+    )
+    plan2 = explain_str(sel)
+    assert "BroadcastHashJoin" not in plan2, plan2
+    # default path untouched: bcast=True still broadcasts
+    plan3 = explain_str(
+        politeness.with_disallowed_flag(frontier, robots, bcast=True)
+    )
+    assert "BroadcastHashJoin" in plan3, plan3
+
+
 def test_track_paths_off_keeps_order_parity(spark, web, tmp_path):
     """track_paths=False (the throughput config) skips the survivor
     re-attach join and writes empty path arrays — crawl order, URL-seen,
