@@ -2070,6 +2070,162 @@ def q_image_decode_stats(spark, sf_dir):
     return decode_stats(_oracle_image_frame(spark, sf_dir))
 
 
+def _pipeline_image_frame(spark, sf_dir, n_imgs=120):
+    """Image corpus for the composite training pipeline — the
+    `_oracle_image_frame` generative formula plus the defect classes a
+    real pipeline must handle: doc_id%10==7 is a FLAT image (constant
+    pixels — zero information, the quality gate's prey), doc_id%10==5
+    is a byte-EXACT copy of doc_id-1 (same base, same png format →
+    identical encode output), doc_id%10==9 stays the lossy NEAR-dup of
+    doc_id-1 (same pixels pre-quantization, png↔jpeg). All three rules
+    are SQL-expressible so DuckDB can restate every stage without the
+    bytes."""
+    from crawler_spark.multimodal import encode_pixels
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < n_imgs)
+    df = d.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            - F.when((F.col("doc_id") % 10).isin(5, 9), 1).otherwise(0)
+        ).alias("base"),
+        F.when(F.col("doc_id") % 10 == 5, F.lit("png"))
+        .when(F.col("doc_id") % 2 == 1, F.lit("jpeg"))
+        .otherwise(F.lit("png"))
+        .alias("fmt"),
+        (F.col("doc_id") % 10 == 7).alias("flat"),
+    )
+    df = (
+        df.withColumn("w", (F.lit(8) * (1 + F.col("base") % 3)).cast("int"))
+        .withColumn("h", (F.lit(8) * (1 + F.col("base") % 4)).cast("int"))
+        .withColumn("image_id", F.concat(F.lit("img-"), F.col("doc_id")))
+        .withColumn(
+            "pixels",
+            F.when(
+                F.col("flat"),
+                F.expr(
+                    "transform(sequence(0, w*h - 1),"
+                    " k -> (37 + (base*23) % 201) % 256)"
+                ),
+            ).otherwise(
+                F.expr(
+                    "transform(sequence(0, w*h - 1), k ->"
+                    " ( ((k div w) * 8 div h) * (37 + (base*23) % 201)"
+                    " + (((k % w) * 8 div w)) * (59 + (base*41) % 149)"
+                    " + (k*7) % 11 ) % 256)"
+                )
+            ),
+        )
+    )
+    return encode_pixels(df)
+
+
+def q_image_training_pipeline(spark, sf_dir):
+    """Composite IMAGE training-data pipeline, ORACLED end to end — the
+    multimodal twin of `training_data_pipeline`: quality gate (min
+    resolution + min pixel std) → byte-exact dedup (md5 group, min-id
+    winner) → perceptual near-dup (banded phash Hamming ≤ 8 →
+    connected components) → one canonical exemplar per cluster. Every
+    per-image signal comes from ONE `image_profile` decode pass (at
+    100 TB the decode dominates — stats, phash, and the exact-dup key
+    must share the scan); every later stage is slim-row DataFrame
+    algebra. DuckDB restates the pixel formula → stats → the (base,
+    fmt) byte-identity → phash bits → all-pairs Hamming → a recursive
+    min-reachable closure, so the hash gate covers the binary
+    round-trip AND the stage composition. Output: one disposition row
+    per input image (stage ∈ low_quality | exact_dup | near_dup | kept)
+    with the canonical image it maps to."""
+    from crawler_spark.multimodal import image_profile
+    from crawler_spark.operators.clustering import connected_components
+    from crawler_spark.operators.dedup import phash_neardup_pairs
+
+    prof = (
+        image_profile(_pipeline_image_frame(spark, sf_dir))
+        .withColumn(
+            "doc_n", F.regexp_extract("image_id", "([0-9]+)$", 1).cast("bigint")
+        )
+        .persist()  # one decode pass feeds 3 stages + the output join
+    )
+    passed = prof.filter(
+        (F.col("dec_w") * F.col("dec_h") >= 128) & (F.col("std_px") >= 30.0)
+    )
+    exact = passed.withColumn(
+        "exact_rep_n", F.min("doc_n").over(Window.partitionBy("byte_key"))
+    ).select("doc_n", "exact_rep_n", "phash2")
+    reps = exact.filter(F.col("doc_n") == F.col("exact_rep_n")).select(
+        "doc_n", "phash2"
+    )
+    pairs = phash_neardup_pairs(reps, "phash2", "doc_n", max_hamming=8)
+    cc = connected_components(pairs)
+    rep_comp = reps.join(
+        cc.withColumnRenamed("id", "doc_n"), "doc_n", "left"
+    ).select(
+        "doc_n", F.coalesce("component", F.col("doc_n")).alias("comp")
+    )
+    # component ids are doc_ns of cluster-min reps — resolve each back
+    # to its image_id rather than re-deriving the string
+    canon = prof.select(
+        F.col("doc_n").alias("comp"), F.col("image_id").alias("canonical")
+    )
+    out = (
+        prof.select("image_id", "doc_n")
+        .join(exact.select("doc_n", "exact_rep_n"), "doc_n", "left")
+        .join(
+            rep_comp.select(
+                F.col("doc_n").alias("exact_rep_n"), "comp"
+            ),
+            "exact_rep_n",
+            "left",
+        )
+        .join(canon, "comp", "left")
+    )
+    return out.select(
+        "image_id",
+        F.when(F.col("exact_rep_n").isNull(), F.lit("low_quality"))
+        .when(F.col("doc_n") != F.col("exact_rep_n"), F.lit("exact_dup"))
+        .when(F.col("doc_n") != F.col("comp"), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+        .alias("stage"),
+        "canonical",
+    )
+
+
+def q_image_resize_stats(spark, sf_dir):
+    """Resize plumbing certified end to end: decode → nearest-neighbor
+    sample to 8×8 → lossless re-encode → second decode → exact-sum
+    stats. DuckDB restates the SAMPLED pixel directly (source index
+    k = (ry*h//8)*w + rx*w//8 into the generative formula, quantized by
+    the SOURCE format since resize reads the stored lossy payload), so
+    a hash match proves both codec trips and the sampling grid."""
+    from crawler_spark.multimodal import decode_stats, resize_images
+
+    rs = resize_images(_oracle_image_frame(spark, sf_dir), 8, 8)
+    return decode_stats(rs.select("image_id", "bytes"))
+
+
+def q_video_frame_sample(spark, sf_dir):
+    """Video-style frame sampling over binary clips: every-2nd-frame
+    indices against a per-clip frame count, frame bytes riding along
+    (no video codec in this sandbox — index-0 bytes stand in for a
+    decoder seek; the fan-out, batch shape, and byte plumbing are the
+    deliverable). Oracled: DuckDB restates the index arithmetic and the
+    byte LENGTH (9-byte header + w*h payload), so the hash gate
+    catches a dropped/duplicated frame row or truncated bytes."""
+    from crawler_spark.multimodal import frame_sample
+
+    clips = _oracle_image_frame(spark, sf_dir).withColumn(
+        "n_frames",
+        (
+            F.lit(1)
+            + F.regexp_extract("image_id", "([0-9]+)$", 1).cast("int") % 7
+        ).cast("int"),
+    )
+    out = frame_sample(clips, every_n=2, n_frames_col="n_frames")
+    return out.select(
+        "image_id", "frame_idx", F.length("bytes").alias("frame_bytes")
+    )
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash-LSH banded candidate pairs + signature-agreement verify."""
     from crawler_spark.operators.dedup import minhash_lsh_pairs
@@ -2200,6 +2356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "action_seq_yields": q_action_seq_yields,
         "image_decode_stats": q_image_decode_stats,
         "image_neardup": q_image_neardup,
+        "image_training_pipeline": q_image_training_pipeline,
+        "image_resize_stats": q_image_resize_stats,
+        "video_frame_sample": q_video_frame_sample,
     }
 
 
@@ -2946,6 +3105,171 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
         FROM ph a JOIN ph b ON 'img-' || a.doc_id < 'img-' || b.doc_id
         WHERE bit_count(xor(a.ph, b.ph)) <= 8
+    """
+    # composite image pipeline: restates the _pipeline_image_frame rules
+    # (flat %10==7, byte-exact copy %10==5, lossy near-dup %10==9) →
+    # stats → quality gate → byte-identity groups ((base, fmt) ⟺ equal
+    # bytes, since pixels and dims derive from base and the encoder is
+    # deterministic) → phash bits → all-pairs Hamming ≤ 8 among the
+    # exact reps → recursive min-reachable closure → per-image stage +
+    # canonical. Covers every Spark stage including the single-decode
+    # image_profile pass.
+    sqls["image_training_pipeline"] = """
+        WITH RECURSIVE imgs AS (
+          SELECT doc_id,
+                 doc_id - CASE WHEN doc_id % 10 IN (5, 9) THEN 1 ELSE 0 END AS base,
+                 CASE WHEN doc_id % 10 = 5 THEN 'png'
+                      WHEN doc_id % 2 = 1 THEN 'jpeg' ELSE 'png' END AS fmt,
+                 (doc_id % 10 = 7) AS flat
+          FROM documents WHERE doc_id < 120
+        ),
+        dims AS (
+          SELECT doc_id, base, fmt, flat,
+                 8*(1 + base % 3) AS w, 8*(1 + base % 4) AS h
+          FROM imgs
+        ),
+        praw AS (
+          SELECT d.doc_id, d.w, d.h, d.fmt, d.base,
+                 (t.k // d.w) * 8 // d.h AS br,
+                 (t.k % d.w) * 8 // d.w AS bc,
+                 CASE WHEN d.flat THEN (37 + (d.base*23) % 201) % 256
+                      ELSE ( ((t.k // d.w) * 8 // d.h) * (37 + (d.base*23) % 201)
+                           + ((t.k % d.w) * 8 // d.w) * (59 + (d.base*41) % 149)
+                           + (t.k*7) % 11 ) % 256 END AS p
+          FROM dims d, LATERAL (SELECT unnest(range(0, d.w*d.h)) AS k) t
+        ),
+        px AS (
+          SELECT doc_id, w, h, base, fmt, br, bc,
+                 CASE WHEN fmt = 'jpeg' THEN p - (p % 2) ELSE p END AS q
+          FROM praw
+        ),
+        stats AS (
+          SELECT doc_id, w, h, base, fmt, COUNT(*) AS n,
+                 CAST(SUM(q) AS BIGINT) AS s, CAST(SUM(q*q) AS BIGINT) AS sq
+          FROM px GROUP BY 1, 2, 3, 4, 5
+        ),
+        qual AS (
+          SELECT doc_id, base, fmt FROM stats
+          WHERE w*h >= 128 AND sqrt((n*sq - s*s) / (n*n)) >= 30.0
+        ),
+        exact AS (
+          SELECT doc_id,
+                 MIN(doc_id) OVER (PARTITION BY base, fmt) AS exact_rep
+          FROM qual
+        ),
+        reps AS (SELECT doc_id FROM exact WHERE doc_id = exact_rep),
+        tot AS (
+          SELECT doc_id, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS s
+          FROM px WHERE doc_id IN (SELECT doc_id FROM reps) GROUP BY 1
+        ),
+        blk AS (
+          SELECT doc_id, br, bc, COUNT(*) AS bn, CAST(SUM(q) AS BIGINT) AS bs
+          FROM px WHERE doc_id IN (SELECT doc_id FROM reps) GROUP BY 1, 2, 3
+        ),
+        bits AS (
+          SELECT b.doc_id, b.br*8 + b.bc AS idx,
+                 CASE WHEN (CAST(b.bs AS DOUBLE) / b.bn)
+                         > (CAST(t.s AS DOUBLE) / t.n)
+                      THEN 1 ELSE 0 END AS bit
+          FROM blk b JOIN tot t USING (doc_id)
+        ),
+        ph AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN bit = 1 THEN (1::HUGEINT << idx)
+                               ELSE 0::HUGEINT END)
+                      - CASE WHEN MAX(CASE WHEN idx = 63 AND bit = 1
+                                          THEN 1 ELSE 0 END) = 1
+                             THEN 18446744073709551616::HUGEINT
+                             ELSE 0::HUGEINT END AS BIGINT) AS ph
+          FROM bits GROUP BY 1
+        ),
+        edges AS (
+          SELECT a.doc_id AS ea, b.doc_id AS eb
+          FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.ph, b.ph)) <= 8
+        ),
+        sym AS (SELECT ea AS a, eb AS b FROM edges
+                UNION SELECT eb, ea FROM edges),
+        reach(id, comp) AS (
+            SELECT a, a FROM sym UNION SELECT a, b FROM sym
+            UNION SELECT s.a, r.comp FROM sym s JOIN reach r ON r.id = s.b
+        ),
+        compo AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+        repc AS (
+          SELECT r.doc_id, COALESCE(c.component, r.doc_id) AS comp
+          FROM reps r LEFT JOIN compo c ON c.id = r.doc_id
+        )
+        SELECT 'img-' || i.doc_id AS image_id,
+               CASE WHEN e.doc_id IS NULL THEN 'low_quality'
+                    WHEN i.doc_id <> e.exact_rep THEN 'exact_dup'
+                    WHEN i.doc_id <> rc.comp THEN 'near_dup'
+                    ELSE 'kept' END AS stage,
+               CASE WHEN e.doc_id IS NULL THEN NULL
+                    ELSE 'img-' || rc2.comp END AS canonical
+        FROM imgs i
+        LEFT JOIN exact e ON e.doc_id = i.doc_id
+        LEFT JOIN repc rc ON rc.doc_id = i.doc_id
+        LEFT JOIN repc rc2 ON rc2.doc_id = e.exact_rep
+    """
+    # resize: sampled source index k = (ry*h//8)*w + rx*w//8 into the
+    # generative formula, quantized by the SOURCE fmt (resize reads the
+    # stored lossy payload, re-encodes lossless)
+    sqls["image_resize_stats"] = """
+        WITH imgs AS (
+          SELECT doc_id,
+                 doc_id - CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END AS base,
+                 CASE WHEN doc_id % 2 = 1 THEN 'jpeg' ELSE 'png' END AS fmt
+          FROM documents WHERE doc_id < 100
+        ),
+        dims AS (
+          SELECT doc_id, base, fmt,
+                 8*(1 + base % 3) AS w, 8*(1 + base % 4) AS h
+          FROM imgs
+        ),
+        rp AS (
+          SELECT d.doc_id, d.w, d.h, d.fmt, d.base,
+                 ((t.r // 8) * d.h // 8) * d.w + ((t.r % 8) * d.w // 8) AS k
+          FROM dims d, LATERAL (SELECT unnest(range(0, 64)) AS r) t
+        ),
+        rq AS (
+          SELECT doc_id,
+                 CASE WHEN fmt = 'jpeg' THEN p - (p % 2) ELSE p END AS q
+          FROM (
+            SELECT doc_id, fmt,
+                   ( ((k // w) * 8 // h) * (37 + (base*23) % 201)
+                   + ((k % w) * 8 // w) * (59 + (base*41) % 149)
+                   + (k*7) % 11 ) % 256 AS p
+            FROM rp)
+        ),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n,
+                 CAST(SUM(q) AS BIGINT) AS s, CAST(SUM(q*q) AS BIGINT) AS sq
+          FROM rq GROUP BY 1
+        )
+        SELECT 'img-' || doc_id AS image_id,
+               CAST(8 AS INTEGER) AS dec_w, CAST(8 AS INTEGER) AS dec_h,
+               'png' AS dec_fmt,
+               s / n AS mean_px,
+               sqrt((n*sq - s*s) / (n*n)) AS std_px
+        FROM agg
+    """
+    # frame sampling: indices 0,2,... below the per-clip count; byte
+    # length = 9-byte header + w*h grayscale payload
+    sqls["video_frame_sample"] = """
+        WITH imgs AS (
+          SELECT doc_id,
+                 doc_id - CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END AS base
+          FROM documents WHERE doc_id < 100
+        ),
+        dims AS (
+          SELECT doc_id, 8*(1 + base % 3) AS w, 8*(1 + base % 4) AS h
+          FROM imgs
+        )
+        SELECT 'img-' || doc_id AS image_id,
+               CAST(t.f AS INTEGER) AS frame_idx,
+               CAST(9 + w*h AS INTEGER) AS frame_bytes
+        FROM dims d,
+             LATERAL (SELECT unnest(range(0, 1 + d.doc_id % 7, 2)) AS f) t
     """
     sqls["phash_neardup"] = """
         WITH ph AS (SELECT doc_id,

@@ -7,4 +7,5 @@ from .images import (  # noqa: F401
     sgi_decode,
     sgi_encode,
     frame_sample,
+    image_profile,
 )

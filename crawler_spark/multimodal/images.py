@@ -189,6 +189,64 @@ def phash_udf_frame(df: DataFrame) -> DataFrame:
     return df.select("image_id", "bytes").mapInPandas(run, schema)
 
 
+_PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("dec_w", T.IntegerType()),
+        T.StructField("dec_h", T.IntegerType()),
+        T.StructField("dec_fmt", T.StringType()),
+        T.StructField("mean_px", T.DoubleType()),
+        T.StructField("std_px", T.DoubleType()),
+        T.StructField("phash2", T.LongType()),
+        T.StructField("byte_key", T.StringType()),
+    ]
+)
+
+
+def image_profile(df: DataFrame) -> DataFrame:
+    """ONE decode pass → everything an image training-data pipeline
+    gates on: dims/format, exact-integer mean/std (decode_stats's
+    formulas), the 64-bit perceptual hash (phash_udf_frame's formula,
+    bit-for-bit), and the exact-dup key (md5 of the raw bytes — hex
+    matches ``F.md5``). At the 100 TB design point the decode is the
+    dominant cost, so quality gating, exact dedup, and near-dup hashing
+    must share a single scan: every later pipeline stage works on this
+    slim profile row, never the bytes."""
+
+    def run(batches):
+        import hashlib
+
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "image_id", "dec_w", "dec_h", "dec_fmt",
+                "mean_px", "std_px", "phash2", "byte_key",
+            )}
+            for iid, blob in zip(pdf["image_id"], pdf["bytes"]):
+                raw = bytes(blob)
+                pix, fmt = sgi_decode(raw)
+                h, w = pix.shape
+                n = pix.size
+                s = int(pix.sum(dtype=np.int64))
+                sq = int((pix.astype(np.int64) ** 2).sum(dtype=np.int64))
+                blocks = pix.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+                bits = (blocks > pix.mean()).reshape(64)
+                weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+                val = (bits.astype(np.uint64) * weights).sum(dtype=np.uint64)
+                cols["image_id"].append(iid)
+                cols["dec_w"].append(w)
+                cols["dec_h"].append(h)
+                cols["dec_fmt"].append(fmt)
+                cols["mean_px"].append(s / n)
+                cols["std_px"].append(
+                    float(np.sqrt((n * sq - s * s) / (n * n)))
+                )
+                cols["phash2"].append(int(val.astype(np.int64)))
+                cols["byte_key"].append(hashlib.md5(raw).hexdigest())
+            yield pd.DataFrame(cols)
+
+    return df.select("image_id", "bytes").mapInPandas(run, _PROFILE_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n: int = 2, n_frames_col: str | None = None) -> DataFrame:
     """Video-style frame sampling: emit frame indices 0, every_n,
     2*every_n, ... up to the clip's frame count. Without a frame-count

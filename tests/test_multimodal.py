@@ -107,3 +107,61 @@ def test_image_neardup_pipeline_matches_column_path(spark):
     assert a == b
     assert a, "near-dup pair set must be non-vacuous"
     corpus.unpersist()
+
+
+def test_image_profile_single_pass_consistency(spark, web):
+    """image_profile (one decode pass) must agree field-for-field with
+    the dedicated operators it fuses: decode_stats, phash_udf_frame,
+    and F.md5 over the raw bytes."""
+    cfg, df = web
+    sub = df.select("image_id", "bytes").limit(40)
+    prof = {r.image_id: r for r in mm.image_profile(sub).collect()}
+    stats = {r.image_id: r for r in mm.decode_stats(sub).collect()}
+    ph = {r.image_id: r.phash2 for r in mm.phash_udf_frame(sub).collect()}
+    md5 = {r.image_id: r.k for r in sub.select("image_id", F.md5("bytes").alias("k")).collect()}
+    assert set(prof) == set(stats) == set(ph) == set(md5)
+    for iid, p in prof.items():
+        s = stats[iid]
+        assert (p.dec_w, p.dec_h, p.dec_fmt) == (s.dec_w, s.dec_h, s.dec_fmt)
+        assert p.mean_px == s.mean_px and p.std_px == s.std_px
+        assert p.phash2 == ph[iid]
+        assert p.byte_key == md5[iid]
+
+
+def test_image_training_pipeline_dispositions(spark):
+    """The composite pipeline's planted structure at sf0.001: flat and
+    tiny images fail quality, %10==5 byte-copies land exact_dup mapped
+    to their source, %10==9 lossy twins land near_dup, and the one
+    cross-base phash collision {100,118,119} clusters to img-100."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    rows = {
+        r.image_id: r
+        for r in entry.q_image_training_pipeline(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert len(rows) == 120
+    by_stage = {}
+    for r in rows.values():
+        by_stage.setdefault(r.stage, []).append(r.image_id)
+    assert len(by_stage["low_quality"]) == 26
+    assert len(by_stage["exact_dup"]) == 10
+    assert len(by_stage["near_dup"]) == 11
+    assert len(by_stage["kept"]) == 73
+    # flat image: zero std -> quality-gated
+    assert rows["img-7"].stage == "low_quality" and rows["img-7"].canonical is None
+    # byte-exact copy maps to its source
+    assert rows["img-5"].stage == "exact_dup" and rows["img-5"].canonical == "img-4"
+    assert rows["img-4"].stage == "kept" and rows["img-4"].canonical == "img-4"
+    # lossy png<->jpeg twin is a perceptual near-dup, not an exact one
+    assert rows["img-9"].stage == "near_dup" and rows["img-9"].canonical == "img-8"
+    # the cross-base 3-way phash cluster closes transitively
+    assert rows["img-118"].canonical == "img-100"
+    assert rows["img-119"].canonical == "img-100"
+    assert rows["img-100"].stage == "kept"
