@@ -179,6 +179,36 @@ def frontier_batch_bench(spark, n_pages=200_000):
     return time.time() - t0, n
 
 
+def image_profile_bench(spark, n_images=30_000):
+    """Image-axis decode throughput: ONE image_profile pass (decode +
+    stats + phash + md5 byte-key, the training-pipeline's single scan)
+    over a pre-materialized binary image corpus in the input_hint
+    schema. Embarrassingly parallel mapInPandas — the number is
+    images/sec through the Arrow decode path, the rate every image
+    pipeline stage upstream of the slim-profile algebra pays once."""
+    from crawler_spark.multimodal import image_profile
+    from crawler_spark.synth import SynthConfig, corpus_df
+    from pyspark.sql import functions as F
+
+    cfg = SynthConfig(n_pages=n_images, n_hosts=100, with_images=True)
+    d = _scratch("bench-imgs-")
+    corpus_df(spark, cfg).select("image_id", "bytes").write.mode(
+        "overwrite"
+    ).parquet(d)
+    imgs = spark.read.parquet(d)
+    prof = image_profile(imgs)
+    t0 = time.time()
+    # aggregate over computed columns so every profile field is forced
+    row = prof.agg(
+        F.count("*").alias("n"), F.avg("std_px").alias("s"),
+        F.sum(F.bit_count("phash2")).alias("p"),
+    ).collect()[0]
+    dt = time.time() - t0
+    shutil.rmtree(d, ignore_errors=True)
+    assert row.n == n_images
+    return dt, row.n
+
+
 def scaling_workload(spark, n_pages=2_000_000, links_per_page=8, n_hosts=500):
     """Compute-dominated frontier batch for scaling-efficiency runs:
     the synthetic web is derived entirely JVM-side (spark.range + column
@@ -268,6 +298,7 @@ def main():
         "embed_topk", "lsh_ann_topk", "link_extract", "url_seen_antijoin",
         "politeness_quota", "xpath_char_score", "dominated_prune",
         "token_counts", "lang_id", "connected_components",
+        "image_training_pipeline",
     ]
     times = {}
     # engine loop first, on a residue-free session: measured in-suite
@@ -285,6 +316,10 @@ def main():
     b2, _ = frontier_batch_bench(spark)
     batch_dt = min(b1, b2)
     times["frontier_batch_200k"] = round(batch_dt, 3)
+    i1, n_imgs = image_profile_bench(spark)
+    i2, _ = image_profile_bench(spark)
+    img_dt = min(i1, i2)
+    times["image_profile_30k"] = round(img_dt, 3)
     spark.catalog.clearCache()
 
     for name in headline:
@@ -317,6 +352,7 @@ def main():
         "pages_fetched_per_sec": round(fetched / crawl_dt, 1),
         "crawl_engine_trials_sec": [round(t, 3) for t in crawl_trials],
         "frontier_batch_rows_per_sec": round(batch_rows / batch_dt, 1),
+        "images_profiled_per_sec": round(n_imgs / img_dt, 1),
     }
     # surface the recorded N→4N scaling measurements (produced by
     # scripts/scaling_bench.py — too long to rerun inside bench.py);
