@@ -219,6 +219,15 @@ class EngineConfig:
             )
 
 
+# the fetch join's projection: everything an epoch needs from a corpus
+# row, and NOTHING else — on a file/Iceberg-backed corpus the binary
+# image payload (bytes) and its metadata never leave the scan's column
+# pruning, which is what keeps the frontier loop payload-free over a
+# multimodal corpus (test_plans asserts the pruned ReadSchema against
+# this exact list; track_content_dups appends caption at runtime)
+FETCH_COLS = ("seq", "requested_url", "url", "host", "out_links",
+              "is_leaf", "depth")
+
 _STATE_TABLES = (
     "frontier", "url_seen", "segments", "crawl_order", "lineage", "metrics",
     "content_seen", "extracted", "samples",
@@ -979,8 +988,7 @@ class CrawlEngine:
         # fetch: broadcast the quota-bounded batch into the corpus scan —
         # the corpus (10^10-row side) never shuffles
         sel_urls = selected.select("seq", "url", "depth")
-        fetch_cols = ["seq", "requested_url", "url", "host", "out_links",
-                      "is_leaf", "depth"]
+        fetch_cols = list(FETCH_COLS)
         if cfg.track_content_dups:
             fetch_cols.append("caption")
         if self._alias_map is not None:

@@ -9,7 +9,15 @@ commit) amortizes. Reports overall URLs scheduled+fetched/s plus the
 per-epoch batch widths; records sustained_result.json next to the other
 bench artifacts.
 
-Usage: python scripts/sustained_bench.py [n_pages] [epochs]
+Usage: python scripts/sustained_bench.py [n_pages] [epochs] [images]
+
+Passing a third arg ``images`` materializes the corpus WITH binary
+image payloads + captions (the input_hint schema end to end) and writes
+sustained_result_images.json instead — the evidence that the frontier
+loop's throughput is payload-independent: the fetch join's projection
+(engine.FETCH_COLS) leaves bytes/phash/dims inside the parquet scan's
+column pruning (asserted in test_plans), so the engine never reads
+them.
 """
 
 from __future__ import annotations
@@ -25,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_PAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
 EPOCHS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+WITH_IMAGES = len(sys.argv) > 3 and sys.argv[3] == "images"
 
 
 def _scratch(prefix):
@@ -55,11 +64,28 @@ def main():
     ).run(seed_urls(wcfg, 4))
     shutil.rmtree(wck, ignore_errors=True)
 
-    cfg = SynthConfig(n_pages=N_PAGES, n_hosts=200, with_images=False)
+    cfg = SynthConfig(n_pages=N_PAGES, n_hosts=200, with_images=WITH_IMAGES)
     cdir = _scratch("sus-corpus-")
     corpus_df(spark, cfg).write.mode("overwrite").parquet(cdir)
-    corpus = spark.read.parquet(cdir).persist()
-    corpus.count()
+    corpus = spark.read.parquet(cdir)
+    payload_bytes = None
+    if WITH_IMAGES:
+        # no .persist(): in-heap caching would materialize the binary
+        # payloads the engine never reads (1M deserialized image rows
+        # OOM an 8g driver), and an uncached corpus is the honest
+        # configuration anyway — every epoch's fetch join re-scans the
+        # (tmpfs) parquet and the payload columns stay inside the
+        # scan's column pruning (engine.FETCH_COLS; asserted in
+        # test_plans). One deliberate full-payload pass here records
+        # how many binary bytes the engine is scheduling over.
+        from pyspark.sql import functions as F
+
+        payload_bytes = corpus.agg(
+            F.sum(F.length("bytes")).alias("b")
+        ).collect()[0].b
+    else:
+        corpus = corpus.persist()
+        corpus.count()
     robots = spark.createDataFrame(robots_rows(cfg), ROBOTS_SCHEMA)
     bounds = cfg.host_bounds
     seeds = [
@@ -83,7 +109,8 @@ def main():
     scheduled = sum(r.urls_scheduled for r in m)
     fetched = sum(r.pages_fetched for r in m)
     out = {
-        "workload": f"engine loop {EPOCHS} epochs, {N_PAGES}-page web, "
+        "workload": f"engine loop {EPOCHS} epochs, {N_PAGES}-page web"
+                    f"{' with binary image payloads' if WITH_IMAGES else ''}, "
                     f"local[{cpus}], tmpfs, commit_every=4",
         "wall_sec": round(dt, 1),
         "urls_scheduled": scheduled,
@@ -92,9 +119,12 @@ def main():
         "scheduled_plus_fetched_per_sec": round((scheduled + fetched) / dt, 1),
         "per_epoch_batch": [r.urls_scheduled for r in m],
     }
+    if payload_bytes is not None:
+        out["image_payload_bytes_in_corpus"] = int(payload_bytes)
     print(json.dumps(out))
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "sustained_result.json"), "w") as f:
+    fname = "sustained_result_images.json" if WITH_IMAGES else "sustained_result.json"
+    with open(os.path.join(here, fname), "w") as f:
         json.dump(out, f, indent=2)
     shutil.rmtree(ck, ignore_errors=True)
     corpus.unpersist()

@@ -132,3 +132,36 @@ def test_exemplar_stage_shapes(spark):
     # no row-at-a-time Python; the clustering is the ONLY Python stage
     assert "BatchEvalPython" not in plan2, plan2
     assert "ArrowEvalPython" not in plan2, plan2
+
+
+def test_fetch_join_prunes_image_payload(spark, tmp_path):
+    """The engine's fetch projection (engine.FETCH_COLS) against a
+    parquet/Iceberg-backed IMAGE corpus must leave the binary payload
+    in the scan's column pruning: the frontier loop schedules over an
+    image+caption corpus without ever reading bytes/phash/dims."""
+    from crawler_spark.engine import FETCH_COLS
+    from crawler_spark.synth import SynthConfig, corpus_df
+
+    d = str(tmp_path / "imgweb")
+    corpus_df(spark, SynthConfig(n_pages=300, with_images=True)).write.parquet(d)
+    corpus = spark.read.parquet(d)
+    url = corpus.limit(1).collect()[0].url
+    batch = spark.createDataFrame(
+        [(url, 0, url, 0)], "url string, seq long, requested_url string, depth int"
+    )
+    fetched = corpus.join(F.broadcast(batch), "url", "inner").select(
+        *FETCH_COLS
+    )
+    # read_schema_columns' flat parse stops at out_links' nested struct;
+    # inspect the raw ReadSchema line instead
+    import re
+
+    from crawler_spark.plans import explain_str
+
+    m = re.search(r"ReadSchema: (.*)", explain_str(fetched))
+    assert m, "no file-scan ReadSchema in plan"
+    rs = m.group(1)
+    for kept in ("url", "host", "out_links", "is_leaf"):
+        assert kept in rs, rs
+    for payload in ("bytes", "phash", "fmt", "caption", "image_id"):
+        assert payload not in rs, rs
