@@ -2226,6 +2226,89 @@ def q_video_frame_sample(spark, sf_dir):
     )
 
 
+def _mm_frame(spark, sf_dir):
+    """(captions, images) for the joint-modality near-dup: doc_id%10==9
+    copies BOTH the previous doc's pixel field (png↔jpeg lossy twin)
+    AND its caption text → a true multimodal duplicate; doc_id%10==3
+    copies only the PIXELS (caption stays its own) → an image-only
+    near-dup the joint join must reject. Captions come from
+    documents.text via the cap_base self-join; pixels from the
+    `_oracle_image_frame` generative formula over img_base — all
+    SQL-expressible for the DuckDB twin."""
+    from crawler_spark.multimodal import encode_pixels
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    meta = d.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            - F.when((F.col("doc_id") % 10).isin(9, 3), 1).otherwise(0)
+        ).alias("img_base"),
+        (
+            F.col("doc_id")
+            - F.when(F.col("doc_id") % 10 == 9, 1).otherwise(0)
+        ).alias("cap_base"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit("jpeg"))
+        .otherwise(F.lit("png"))
+        .alias("fmt"),
+    )
+    caps = meta.join(
+        d.select(
+            F.col("doc_id").alias("cap_base"), F.col("text").alias("caption")
+        ),
+        "cap_base",
+    ).select("doc_id", "caption")
+    imgs = encode_pixels(
+        meta.withColumnRenamed("img_base", "base")
+        .withColumn("w", (F.lit(8) * (1 + F.col("base") % 3)).cast("int"))
+        .withColumn("h", (F.lit(8) * (1 + F.col("base") % 4)).cast("int"))
+        .withColumn("image_id", F.concat(F.lit("img-"), F.col("doc_id")))
+        .withColumn(
+            "pixels",
+            F.expr(
+                "transform(sequence(0, w*h - 1), k ->"
+                " ( ((k div w) * 8 div h) * (37 + (base*23) % 201)"
+                " + (((k % w) * 8 div w)) * (59 + (base*41) % 149)"
+                " + (k*7) % 11 ) % 256)"
+            ),
+        )
+    )
+    return caps, imgs
+
+
+def q_multimodal_neardup(spark, sf_dir):
+    """Joint-modality near-dup over (image, caption) rows — an
+    image+caption pair is a duplicate only when BOTH modalities agree:
+    caption 4-gram Jaccard ≥ 0.2 (df-capped shingle join) AND decoded
+    image phash Hamming ≤ 8 (banded pair join), intersected on the
+    pair key. This is the dedup rule a captioned-image training
+    pipeline actually wants: same picture + rewritten caption, or same
+    boilerplate caption + different picture, are NOT duplicates. Both
+    sides stay banded/blocked (never all-pairs); the intersection is
+    an equi-join on (id_a, id_b). Planted structure: %10==9 duplicates
+    both modalities (kept), %10==3 duplicates pixels only (dropped) —
+    the DuckDB twin restates captions, shingles, pixel formula, phash
+    bits, and both thresholds."""
+    from crawler_spark.multimodal import phash_udf_frame
+    from crawler_spark.operators.dedup import (
+        ngram_jaccard_pairs, phash_neardup_pairs,
+    )
+
+    caps, imgs = _mm_frame(spark, sf_dir)
+    txt = ngram_jaccard_pairs(
+        caps, "caption", "doc_id", threshold=0.2, df_cap=3
+    ).select("id_a", "id_b", "jaccard")
+    ph = phash_udf_frame(imgs).withColumn(
+        "doc_n", F.regexp_extract("image_id", "([0-9]+)$", 1).cast("bigint")
+    )
+    img = phash_neardup_pairs(ph, "phash2", "doc_n", max_hamming=8).select(
+        "id_a", "id_b", "hamming"
+    )
+    return txt.join(img, ["id_a", "id_b"]).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard"), "hamming"
+    )
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash-LSH banded candidate pairs + signature-agreement verify."""
     from crawler_spark.operators.dedup import minhash_lsh_pairs
@@ -2298,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "multimodal_neardup": q_multimodal_neardup,
         "simhash": q_simhash,
         "phash_neardup": q_phash_neardup,
         # similarity search
@@ -3252,6 +3336,90 @@ def oracle_sql() -> dict[str, str]:
                s / n AS mean_px,
                sqrt((n*sq - s*s) / (n*n)) AS std_px
         FROM agg
+    """
+    # joint-modality near-dup: captions (cap_base self-join) through the
+    # shingle/jaccard chain AND pixels (img_base generative formula)
+    # through the phash chain, intersected on the pair key — the %10==3
+    # image-only twins must appear in pairs_i but not the output
+    sqls["multimodal_neardup"] = f"""
+        WITH mm AS (
+          SELECT doc_id,
+                 doc_id - CASE WHEN doc_id % 10 IN (9, 3) THEN 1 ELSE 0 END AS base,
+                 doc_id - CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END AS cap_base,
+                 CASE WHEN doc_id % 2 = 1 THEN 'jpeg' ELSE 'png' END AS fmt
+          FROM documents WHERE doc_id < 100
+        ),
+        caps AS (
+          SELECT mm.doc_id, t.text AS text
+          FROM mm JOIN documents t ON t.doc_id = mm.cap_base
+        ),
+        norm AS (SELECT doc_id, {_NORM} AS t FROM caps),
+        toks AS (SELECT doc_id, string_split(t, ' ') AS ts FROM norm),
+        sh AS (SELECT DISTINCT doc_id,
+                      ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
+               FROM toks JOIN generate_series(0, 2000) g(i) ON i <= len(ts) - 4),
+        hashed0 AS (SELECT DISTINCT doc_id, {_H61.format(x='s')} AS h FROM sh),
+        keepable AS (SELECT h FROM hashed0 GROUP BY h HAVING COUNT(*) <= 3),
+        hashed AS (SELECT hashed0.* FROM hashed0 JOIN keepable USING (h)),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hashed GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS m
+                  FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs_t AS (
+          SELECT id_a, id_b,
+                 round(m / CAST(sa.sz + sb.sz - m AS DOUBLE), 4) AS jaccard
+          FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                     JOIN sizes sb ON sb.doc_id = id_b
+          WHERE m / CAST(sa.sz + sb.sz - m AS DOUBLE) >= 0.2
+        ),
+        dims AS (
+          SELECT doc_id, base, fmt,
+                 8*(1 + base % 3) AS w, 8*(1 + base % 4) AS h
+          FROM mm
+        ),
+        praw AS (
+          SELECT d.doc_id, d.w, d.fmt,
+                 (t.k // d.w) * 8 // d.h AS br,
+                 (t.k % d.w) * 8 // d.w AS bc,
+                 ( ((t.k // d.w) * 8 // d.h) * (37 + (d.base*23) % 201)
+                 + ((t.k % d.w) * 8 // d.w) * (59 + (d.base*41) % 149)
+                 + (t.k*7) % 11 ) % 256 AS p
+          FROM dims d, LATERAL (SELECT unnest(range(0, d.w*d.h)) AS k) t
+        ),
+        px AS (
+          SELECT doc_id, br, bc,
+                 CASE WHEN fmt = 'jpeg' THEN p - (p % 2) ELSE p END AS q
+          FROM praw
+        ),
+        tot AS (SELECT doc_id, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS s
+                FROM px GROUP BY 1),
+        blk AS (SELECT doc_id, br, bc, COUNT(*) AS bn, CAST(SUM(q) AS BIGINT) AS bs
+                FROM px GROUP BY 1, 2, 3),
+        bits AS (
+          SELECT b.doc_id, b.br*8 + b.bc AS idx,
+                 CASE WHEN (CAST(b.bs AS DOUBLE) / b.bn)
+                         > (CAST(t.s AS DOUBLE) / t.n)
+                      THEN 1 ELSE 0 END AS bit
+          FROM blk b JOIN tot t USING (doc_id)
+        ),
+        ph AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN bit = 1 THEN (1::HUGEINT << idx)
+                               ELSE 0::HUGEINT END)
+                      - CASE WHEN MAX(CASE WHEN idx = 63 AND bit = 1
+                                          THEN 1 ELSE 0 END) = 1
+                             THEN 18446744073709551616::HUGEINT
+                             ELSE 0::HUGEINT END AS BIGINT) AS ph
+          FROM bits GROUP BY 1
+        ),
+        pairs_i AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+          FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.ph, b.ph)) <= 8
+        )
+        SELECT id_a, id_b, jaccard, hamming
+        FROM pairs_t JOIN pairs_i USING (id_a, id_b)
     """
     # frame sampling: indices 0,2,... below the per-clip count; byte
     # length = 9-byte header + w*h grayscale payload

@@ -165,3 +165,46 @@ def test_image_training_pipeline_dispositions(spark):
     assert rows["img-118"].canonical == "img-100"
     assert rows["img-119"].canonical == "img-100"
     assert rows["img-100"].stage == "kept"
+
+
+def test_multimodal_neardup_joint_semantics(spark):
+    """The joint-modality dedup at sf0.001: %10==9 twins (pixels AND
+    caption copied) survive; %10==3 twins (pixels only) are produced by
+    the image side but rejected by the join; naturally-similar captions
+    without image agreement are rejected from the text side."""
+    import importlib.util
+
+    from crawler_spark.operators.dedup import (
+        ngram_jaccard_pairs, phash_neardup_pairs,
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    sf = "/root/testdata/sf0.001"
+    caps, imgs = entry._mm_frame(spark, sf)
+    ph = mm.phash_udf_frame(imgs).withColumn(
+        "doc_n", F.regexp_extract("image_id", "([0-9]+)$", 1).cast("bigint")
+    )
+    img_pairs = {
+        (r.id_a, r.id_b)
+        for r in phash_neardup_pairs(ph, "phash2", "doc_n", max_hamming=8).collect()
+    }
+    txt_pairs = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            caps, "caption", "doc_id", threshold=0.2, df_cap=3
+        ).collect()
+    }
+    joint = {
+        (r.id_a, r.id_b)
+        for r in entry.q_multimodal_neardup(spark, sf).collect()
+    }
+    # joint = exactly the ten dual-modality plants
+    assert joint == {(10 * k + 8, 10 * k + 9) for k in range(10)}
+    # the image-only plants exist upstream and are rejected by the join
+    assert {(10 * k + 2, 10 * k + 3) for k in range(10)} <= img_pairs
+    assert joint == img_pairs & txt_pairs
+    assert (img_pairs - joint) and (txt_pairs - joint)
