@@ -2019,6 +2019,14 @@ def _oracle_image_frame(spark, sf_dir, n_imgs=100):
     well-separated across images and ~equal within a planted pair."""
     from crawler_spark.multimodal import encode_pixels
 
+    return encode_pixels(_image_formula_frame(spark, sf_dir, n_imgs))
+
+
+def _image_formula_frame(spark, sf_dir, n_imgs=100):
+    """The pre-encode side of `_oracle_image_frame`: (image_id, fmt, w,
+    h, pixels) with the SQL-expressible generative pixel formula still
+    visible as an array column — so a query can join encoded bytes back
+    to their source pixels for per-row fidelity checks (image_psnr)."""
     d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < n_imgs)
     df = d.select(
         F.col("doc_id"),
@@ -2039,7 +2047,31 @@ def _oracle_image_frame(spark, sf_dir, n_imgs=100):
             ),
         )
     )
-    return encode_pixels(df)
+    return df
+
+
+def q_image_psnr(spark, sf_dir):
+    """The north-rule per-row invariant (input_hint: decoded-pixel
+    PSNR ≥ 40 dB for lossy + lossless exactness) as a driver-gated
+    query, not only a pytest: formula pixels → REAL encode → binary
+    column → Arrow → decode, then per-image exact integer squared error
+    vs the pre-encode pixels joined back on image_id. DuckDB restates
+    the codec's lossy rule analytically — quantize-to-even means the
+    per-pixel squared error is `p % 2`, so err_sq = Σ(p%2) over jpeg
+    pixels and 0 for png — and the same mse / 10·log10(255²·n/err)
+    arithmetic. A hash match certifies the decode side reproduces the
+    source to the claimed fidelity per ROW, end to end through the
+    binary path (cf. reference fetch fidelity: page bytes stored
+    verbatim, crawler stores what it fetched — here the graft's image
+    twin of that contract)."""
+    from crawler_spark.multimodal import psnr_frame
+
+    src = _image_formula_frame(spark, sf_dir)
+    from crawler_spark.multimodal import encode_pixels
+
+    enc = encode_pixels(src)
+    joined = enc.join(src.select("image_id", "pixels"), "image_id")
+    return psnr_frame(joined)
 
 
 def q_image_neardup(spark, sf_dir):
@@ -2439,6 +2471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_exemplar": q_crawl_exemplar,
         "action_seq_yields": q_action_seq_yields,
         "image_decode_stats": q_image_decode_stats,
+        "image_psnr": q_image_psnr,
         "image_neardup": q_image_neardup,
         "image_training_pipeline": q_image_training_pipeline,
         "image_resize_stats": q_image_resize_stats,
@@ -3157,6 +3190,26 @@ def oracle_sql() -> dict[str, str]:
                fmt AS dec_fmt,
                s / n AS mean_px,
                sqrt((n*sq - s*s) / (n*n)) AS std_px
+        FROM agg
+    """
+    # per-row codec fidelity: quantize-to-even ⇒ squared error per pixel
+    # is p % 2 (jpeg) / 0 (png); PSNR from the same exact-integer sums
+    # and the identical double-precision formula the Spark side uses.
+    sqls["image_psnr"] = _IMG_PX_CTE + """
+        , agg AS (
+          SELECT doc_id, fmt, COUNT(*) AS n,
+                 CAST(SUM(CASE WHEN fmt = 'jpeg' THEN p % 2 ELSE 0 END)
+                      AS BIGINT) AS err
+          FROM praw GROUP BY 1, 2
+        )
+        SELECT 'img-' || doc_id AS image_id,
+               fmt,
+               CAST(n AS INTEGER) AS n_px,
+               err AS err_sq,
+               CAST(err AS DOUBLE) / n AS mse,
+               CASE WHEN err = 0 THEN NULL
+                    ELSE 10.0 * log10(65025.0 * n / err) END AS psnr_db,
+               (err = 0 OR 10.0 * log10(65025.0 * n / err) >= 40.0) AS psnr_ok
         FROM agg
     """
     sqls["image_neardup"] = _IMG_PX_CTE + """

@@ -3,6 +3,7 @@ from .images import (  # noqa: F401
     encode_pixels,
     phash_udf_frame,
     psnr,
+    psnr_frame,
     resize_images,
     sgi_decode,
     sgi_encode,

