@@ -2341,6 +2341,85 @@ def q_multimodal_neardup(spark, sf_dir):
     )
 
 
+def q_caption_image_align(spark, sf_dir):
+    """Cross-modal alignment gate — the CLIP-score filter a captioned-
+    image training pipeline runs before anything else (keep a pair only
+    when the caption actually describes the picture; reference analog:
+    the crawler trusts anchor-text ↔ target-page agreement the same
+    way). Both modalities are embedded into the SAME 64-dim space:
+    the image side from DECODED bytes (block_embedding — exact int64
+    8×8 block sums, one mapInPandas pass), the caption side parsed out
+    of genuine caption TEXT (split → slice → cast, all JVM) whose
+    tokens quantize the scene's block-gradient. cosine = dot /
+    sqrt(na·nb) where dot/na/nb are exact integer sums — the one sqrt
+    and one divide are single correctly-rounded IEEE ops, so the DuckDB
+    twin (which restates the pixel formula, the caption formula, and
+    the same arithmetic) hash-matches bit-for-bit. Planted noise:
+    doc_id%7==3 carries the caption of doc_id-2 (wrong alt-text, the
+    web's favorite defect) — measured cosine ≤ 0.818 vs ≥ 0.934 for
+    true pairs, so the 0.875 gate splits them with margin both sides
+    (pinned in tests/test_multimodal.py). 100 TB shape: bytes never
+    leave the decode scan; the join carries (image_id, 64×int64) only;
+    misaligned pairs drop before any expensive downstream stage."""
+    from crawler_spark.multimodal import block_embedding
+
+    iv = block_embedding(_oracle_image_frame(spark, sf_dir))
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    caps = (
+        d.select(
+            "doc_id",
+            (
+                F.col("doc_id")
+                - F.when(
+                    (F.col("doc_id") % 7 == 3) & (F.col("doc_id") >= 2), 2
+                ).otherwise(0)
+            ).alias("cap_src"),
+        )
+        .withColumn(
+            "cap_base",
+            F.col("cap_src")
+            - F.when(F.col("cap_src") % 10 == 9, 1).otherwise(0),
+        )
+        .withColumn(
+            "caption",
+            F.expr(
+                "concat('alt photo ', cast(cap_src as string), ' ',"
+                " concat_ws(' ', transform(sequence(0, 63), i -> cast("
+                " ((i div 8) * (37 + (cap_base*23) % 201)"
+                " + (i % 8) * (59 + (cap_base*41) % 149) + 5) % 256"
+                " as string))))"
+            ),
+        )
+    )
+    # the caption VECTOR comes back out of the text, not the formula —
+    # a broken tokenizer breaks the hash
+    parsed = caps.select(
+        F.concat(F.lit("img-"), F.col("doc_id")).alias("image_id"),
+        "cap_src",
+        F.expr(
+            "transform(slice(split(caption, ' '), 4, 64),"
+            " t -> cast(t as bigint))"
+        ).alias("cap_vec"),
+    )
+    scored = iv.join(parsed, "image_id").select(
+        "image_id",
+        F.col("cap_src").cast("int").alias("cap_src"),
+        F.expr(
+            "aggregate(zip_with(img_vec, cap_vec, (x, y) -> x*y),"
+            " 0L, (a, x) -> a + x)"
+        ).alias("dot"),
+        F.expr("aggregate(img_vec, 0L, (a, x) -> a + x*x)").alias("na"),
+        F.expr("aggregate(cap_vec, 0L, (a, x) -> a + x*x)").alias("nb"),
+    )
+    cos = F.col("dot") / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+    return scored.select(
+        "image_id",
+        "cap_src",
+        cos.alias("cosine"),
+        (cos >= 0.875).alias("aligned"),
+    )
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash-LSH banded candidate pairs + signature-agreement verify."""
     from crawler_spark.operators.dedup import minhash_lsh_pairs
@@ -2414,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "multimodal_neardup": q_multimodal_neardup,
+        "caption_image_align": q_caption_image_align,
         "simhash": q_simhash,
         "phash_neardup": q_phash_neardup,
         # similarity search
@@ -3473,6 +3553,51 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id_a, id_b, jaccard, hamming
         FROM pairs_t JOIN pairs_i USING (id_a, id_b)
+    """
+    # cross-modal alignment: image side = exact int64 block sums of the
+    # DECODED (quantized) pixels, caption side = the caption formula's
+    # quantized block-gradient; dot/na/nb exact integers, cosine =
+    # dot / sqrt(CAST(na*nb AS DOUBLE)) — the identical single-sqrt
+    # single-divide the Spark side computes, so doubles match bitwise
+    sqls["caption_image_align"] = _IMG_PX_CTE + """
+        , blk AS (
+          SELECT doc_id, br*8 + bc AS idx, CAST(SUM(q) AS BIGINT) AS bs
+          FROM px GROUP BY 1, 2
+        ),
+        iv AS (
+          SELECT doc_id, CAST(SUM(bs*bs) AS BIGINT) AS na
+          FROM blk GROUP BY 1
+        ),
+        capb AS (
+          SELECT doc_id, cap_src,
+                 cap_src - CASE WHEN cap_src % 10 = 9 THEN 1 ELSE 0 END
+                   AS cap_base
+          FROM (
+            SELECT doc_id,
+                   doc_id - CASE WHEN doc_id % 7 = 3 AND doc_id >= 2
+                                 THEN 2 ELSE 0 END AS cap_src
+            FROM documents WHERE doc_id < 100
+          )
+        ),
+        cv AS (
+          SELECT c.doc_id, c.cap_src, t.idx,
+                 ( (t.idx // 8) * (37 + (c.cap_base*23) % 201)
+                 + (t.idx % 8) * (59 + (c.cap_base*41) % 149) + 5 ) % 256
+                   AS v
+          FROM capb c, LATERAL (SELECT unnest(range(0, 64)) AS idx) t
+        ),
+        dots AS (
+          SELECT c.doc_id, c.cap_src,
+                 CAST(SUM(b.bs * c.v) AS BIGINT) AS dot,
+                 CAST(SUM(c.v * c.v) AS BIGINT) AS nb
+          FROM cv c JOIN blk b ON b.doc_id = c.doc_id AND b.idx = c.idx
+          GROUP BY 1, 2
+        )
+        SELECT 'img-' || d.doc_id AS image_id,
+               CAST(d.cap_src AS INTEGER) AS cap_src,
+               d.dot / sqrt(CAST(i.na * d.nb AS DOUBLE)) AS cosine,
+               d.dot / sqrt(CAST(i.na * d.nb AS DOUBLE)) >= 0.875 AS aligned
+        FROM dots d JOIN iv i USING (doc_id)
     """
     # frame sampling: indices 0,2,... below the per-clip count; byte
     # length = 9-byte header + w*h grayscale payload

@@ -1,4 +1,5 @@
 from .images import (  # noqa: F401
+    block_embedding,
     decode_stats,
     encode_pixels,
     phash_udf_frame,

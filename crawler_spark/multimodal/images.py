@@ -247,6 +247,46 @@ def image_profile(df: DataFrame) -> DataFrame:
     return df.select("image_id", "bytes").mapInPandas(run, _PROFILE_SCHEMA)
 
 
+_EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("img_vec", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def block_embedding(df: DataFrame) -> DataFrame:
+    """64-dim image embedding from decoded pixels: the EXACT integer sum
+    of each cell of an 8×8 block grid, row-major (same grid the
+    perceptual hash uses). Cosine between two of these is invariant to
+    the per-image block area (all 64 blocks of one image have equal
+    area), so the vector doubles as a resolution-independent content
+    embedding. Exact int64 components are what let a cross-modal cosine
+    over this embedding hash-match a DuckDB oracle bit-for-bit: dot and
+    norms are integer sums, and only the final divide/sqrt touch floats.
+    One ``mapInPandas`` decode pass, zero shuffle — the 100 TB shape is
+    scan → slim (image_id, 64×int64) rows, bytes never leave the scan
+    stage."""
+
+    def run(batches):
+        for pdf in batches:
+            ids, vecs = [], []
+            for iid, blob in zip(pdf["image_id"], pdf["bytes"]):
+                pix, _ = sgi_decode(bytes(blob))
+                h, w = pix.shape
+                sums = (
+                    pix.astype(np.int64)
+                    .reshape(8, h // 8, 8, w // 8)
+                    .sum(axis=(1, 3))
+                    .reshape(64)
+                )
+                ids.append(iid)
+                vecs.append([int(v) for v in sums])
+            yield pd.DataFrame({"image_id": ids, "img_vec": vecs})
+
+    return df.select("image_id", "bytes").mapInPandas(run, _EMBED_SCHEMA)
+
+
 _PSNR_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType()),

@@ -226,3 +226,53 @@ def test_multimodal_neardup_joint_semantics(spark):
     assert {(10 * k + 2, 10 * k + 3) for k in range(10)} <= img_pairs
     assert joint == img_pairs & txt_pairs
     assert (img_pairs - joint) and (txt_pairs - joint)
+
+
+def test_block_embedding_exact_sums(spark):
+    """The 64-dim image embedding is the EXACT int64 block-sum grid of
+    the decoded pixels — verified against numpy on the raw arrays."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for i, (w, h) in enumerate([(16, 8), (8, 24), (32, 32)]):
+        pix = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        rows.append((f"img-{i}", mm.sgi_encode(pix, "png"), pix))
+    df = spark.createDataFrame(
+        [(r[0], bytearray(r[1])) for r in rows],
+        "image_id string, bytes binary",
+    )
+    got = {r.image_id: r.img_vec for r in mm.block_embedding(df).collect()}
+    for iid, _, pix in rows:
+        h, w = pix.shape
+        want = (
+            pix.astype(np.int64)
+            .reshape(8, h // 8, 8, w // 8)
+            .sum(axis=(1, 3))
+            .reshape(64)
+        )
+        assert got[iid] == [int(v) for v in want]
+
+
+def test_caption_image_align_gate(spark):
+    """The cross-modal gate is non-vacuous and has real margin: the 14
+    planted wrong-caption rows (doc_id%7==3 carries doc_id-2's caption)
+    land at cosine ≤ 0.82, every true pair at ≥ 0.93 — the 0.875
+    threshold separates them with ≥0.05 slack on BOTH sides, so codec
+    quantization or a one-token parse slip cannot silently flip a row."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    rows = entry.q_caption_image_align(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 100
+    mis = [r for r in rows if not r.aligned]
+    ok = [r for r in rows if r.aligned]
+    # exactly the planted wrong-alt-text rows are rejected
+    assert sorted(int(r.image_id.split("-")[1]) for r in mis) == [
+        d for d in range(100) if d % 7 == 3 and d >= 2
+    ]
+    assert all(r.cap_src == int(r.image_id.split("-")[1]) - 2 for r in mis)
+    assert max(r.cosine for r in mis) <= 0.82
+    assert min(r.cosine for r in ok) >= 0.93
