@@ -2420,6 +2420,51 @@ def q_caption_image_align(spark, sf_dir):
     )
 
 
+def q_image_profile_corrupt(spark, sf_dir):
+    """Corrupt-blob quarantine — the 100 TB posture for binary scans:
+    some fraction of fetched image payloads IS garbage (truncated
+    transfers, non-image bytes behind an image URL), and one such row
+    must become a classified quarantine row, never a dead executor
+    task. Planted defects over the oracle image corpus: doc_id%13==11
+    swaps the bytes for non-image text (err='bad_magic'), doc_id%13==7
+    truncates the real blob to 12 bytes — a VALID header whose payload
+    is missing (err='truncated', the nastier case: naive header sniffing
+    passes it). `image_profile(on_error="quarantine")` classifies both
+    in the same single decode pass that profiles the healthy rows;
+    healthy rows keep their exact-integer stats. DuckDB restates the
+    defect rules and the formula stats; both planted classes are
+    non-vacuous (7 truncated + 7 bad-magic of 100) and pinned in
+    tests/test_multimodal.py along with raise-mode still raising."""
+    from crawler_spark.multimodal import image_profile
+
+    enc = _oracle_image_frame(spark, sf_dir).withColumn(
+        "doc_n", F.regexp_extract("image_id", "([0-9]+)$", 1).cast("bigint")
+    )
+    damaged = enc.select(
+        "image_id",
+        F.when(
+            F.col("doc_n") % 13 == 11,
+            F.encode(F.concat(F.lit("GARBAGE-"), F.col("doc_n")), "utf-8"),
+        )
+        .when(F.col("doc_n") % 13 == 7, F.expr("substring(bytes, 1, 12)"))
+        .otherwise(F.col("bytes"))
+        .alias("bytes"),
+    )
+    prof = image_profile(damaged, on_error="quarantine")
+    return prof.select(
+        "image_id",
+        F.when(F.col("err").isNull(), F.lit("ok"))
+        .otherwise(F.lit("quarantined"))
+        .alias("status"),
+        "err",
+        "dec_w",
+        "dec_h",
+        "dec_fmt",
+        "mean_px",
+        "std_px",
+    )
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash-LSH banded candidate pairs + signature-agreement verify."""
     from crawler_spark.operators.dedup import minhash_lsh_pairs
@@ -2494,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "multimodal_neardup": q_multimodal_neardup,
         "caption_image_align": q_caption_image_align,
+        "image_profile_corrupt": q_image_profile_corrupt,
         "simhash": q_simhash,
         "phash_neardup": q_phash_neardup,
         # similarity search
@@ -3598,6 +3644,34 @@ def oracle_sql() -> dict[str, str]:
                d.dot / sqrt(CAST(i.na * d.nb AS DOUBLE)) AS cosine,
                d.dot / sqrt(CAST(i.na * d.nb AS DOUBLE)) >= 0.875 AS aligned
         FROM dots d JOIN iv i USING (doc_id)
+    """
+    # corrupt-blob quarantine: defect classes are pure doc_id rules —
+    # %13==11 bytes are non-image text (bad_magic), %13==7 keeps a valid
+    # 9-byte header but only 3 payload bytes (truncated; every image has
+    # w*h >= 64 > 3) — everything else profiles via the formula stats
+    sqls["image_profile_corrupt"] = _IMG_PX_CTE + """
+        , agg AS (
+          SELECT doc_id, w, h, fmt, COUNT(*) AS n,
+                 CAST(SUM(q) AS BIGINT) AS s, CAST(SUM(q*q) AS BIGINT) AS sq
+          FROM px GROUP BY 1, 2, 3, 4
+        )
+        SELECT 'img-' || doc_id AS image_id,
+               CASE WHEN doc_id % 13 IN (11, 7) THEN 'quarantined'
+                    ELSE 'ok' END AS status,
+               CASE WHEN doc_id % 13 = 11 THEN 'bad_magic'
+                    WHEN doc_id % 13 = 7 THEN 'truncated'
+                    ELSE NULL END AS err,
+               CASE WHEN doc_id % 13 IN (11, 7) THEN NULL
+                    ELSE CAST(w AS INTEGER) END AS dec_w,
+               CASE WHEN doc_id % 13 IN (11, 7) THEN NULL
+                    ELSE CAST(h AS INTEGER) END AS dec_h,
+               CASE WHEN doc_id % 13 IN (11, 7) THEN NULL
+                    ELSE fmt END AS dec_fmt,
+               CASE WHEN doc_id % 13 IN (11, 7) THEN NULL
+                    ELSE s / n END AS mean_px,
+               CASE WHEN doc_id % 13 IN (11, 7) THEN NULL
+                    ELSE sqrt((n*sq - s*s) / (n*n)) END AS std_px
+        FROM agg
     """
     # frame sampling: indices 0,2,... below the per-clip count; byte
     # length = 9-byte header + w*h grayscale payload

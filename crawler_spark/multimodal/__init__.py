@@ -8,6 +8,7 @@ from .images import (  # noqa: F401
     resize_images,
     sgi_decode,
     sgi_encode,
+    sgi_try_decode,
     frame_sample,
     image_profile,
 )

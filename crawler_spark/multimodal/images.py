@@ -53,6 +53,24 @@ def sgi_decode(blob: bytes) -> tuple:
     return pix, fmt
 
 
+def sgi_try_decode(blob: bytes):
+    """Total-function decode for quarantine paths: → (pixels, fmt, None)
+    on success, (None, None, reason) on any malformed input —
+    ``bad_magic`` (foreign/garbage header, unknown format code, or too
+    short to carry one) or ``truncated`` (valid header, payload shorter
+    than w*h). At the 100 TB design point some fraction of fetched blobs
+    IS garbage; a scan stage must classify those rows, never throw."""
+    if len(blob) < 9 or blob[:4] != HEADER or blob[4] not in _FMTS:
+        return None, None, "bad_magic"
+    fmt = _FMTS[blob[4]]
+    w = int.from_bytes(blob[5:7], "little")
+    h = int.from_bytes(blob[7:9], "little")
+    if len(blob) < 9 + w * h:
+        return None, None, "truncated"
+    pix = np.frombuffer(blob[9 : 9 + w * h], dtype=np.uint8).reshape(h, w)
+    return pix, fmt, None
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
     return float("inf") if mse == 0 else 10.0 * np.log10(255.0**2 / mse)
@@ -199,11 +217,12 @@ _PROFILE_SCHEMA = T.StructType(
         T.StructField("std_px", T.DoubleType()),
         T.StructField("phash2", T.LongType()),
         T.StructField("byte_key", T.StringType()),
+        T.StructField("err", T.StringType()),
     ]
 )
 
 
-def image_profile(df: DataFrame) -> DataFrame:
+def image_profile(df: DataFrame, on_error: str = "raise") -> DataFrame:
     """ONE decode pass → everything an image training-data pipeline
     gates on: dims/format, exact-integer mean/std (decode_stats's
     formulas), the 64-bit perceptual hash (phash_udf_frame's formula,
@@ -211,7 +230,17 @@ def image_profile(df: DataFrame) -> DataFrame:
     matches ``F.md5``). At the 100 TB design point the decode is the
     dominant cost, so quality gating, exact dedup, and near-dup hashing
     must share a single scan: every later pipeline stage works on this
-    slim profile row, never the bytes."""
+    slim profile row, never the bytes.
+
+    ``on_error="quarantine"`` classifies malformed blobs instead of
+    failing the task (the 100 TB posture — one corrupt row in a
+    petabyte scan must become a quarantined row, not a dead job): such
+    rows carry err='bad_magic'|'truncated', NULL stats/dims/phash, and
+    still get their byte_key (the bytes exist; exact dedup of garbage
+    is still dedup). The default ``raise`` keeps the strict contract
+    for corpora that guarantee well-formed payloads."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be raise|quarantine, got {on_error!r}")
 
     def run(batches):
         import hashlib
@@ -219,11 +248,25 @@ def image_profile(df: DataFrame) -> DataFrame:
         for pdf in batches:
             cols = {k: [] for k in (
                 "image_id", "dec_w", "dec_h", "dec_fmt",
-                "mean_px", "std_px", "phash2", "byte_key",
+                "mean_px", "std_px", "phash2", "byte_key", "err",
             )}
             for iid, blob in zip(pdf["image_id"], pdf["bytes"]):
                 raw = bytes(blob)
-                pix, fmt = sgi_decode(raw)
+                if on_error == "quarantine":
+                    pix, fmt, err = sgi_try_decode(raw)
+                    if err is not None:
+                        cols["image_id"].append(iid)
+                        cols["dec_w"].append(None)
+                        cols["dec_h"].append(None)
+                        cols["dec_fmt"].append(None)
+                        cols["mean_px"].append(None)
+                        cols["std_px"].append(None)
+                        cols["phash2"].append(None)
+                        cols["byte_key"].append(hashlib.md5(raw).hexdigest())
+                        cols["err"].append(err)
+                        continue
+                else:
+                    pix, fmt = sgi_decode(raw)
                 h, w = pix.shape
                 n = pix.size
                 s = int(pix.sum(dtype=np.int64))
@@ -242,6 +285,7 @@ def image_profile(df: DataFrame) -> DataFrame:
                 )
                 cols["phash2"].append(int(val.astype(np.int64)))
                 cols["byte_key"].append(hashlib.md5(raw).hexdigest())
+                cols["err"].append(None)
             yield pd.DataFrame(cols)
 
     return df.select("image_id", "bytes").mapInPandas(run, _PROFILE_SCHEMA)

@@ -276,3 +276,31 @@ def test_caption_image_align_gate(spark):
     assert all(r.cap_src == int(r.image_id.split("-")[1]) - 2 for r in mis)
     assert max(r.cosine for r in mis) <= 0.82
     assert min(r.cosine for r in ok) >= 0.93
+
+
+def test_image_profile_quarantine(spark):
+    """One corrupt blob in a binary scan must become a classified
+    quarantine row, not a dead task: bad-magic and truncated-payload
+    blobs (valid header, missing pixels — header sniffing passes it)
+    both classify in the same decode pass that profiles healthy rows;
+    the strict default still raises."""
+    good = mm.sgi_encode(np.full((8, 8), 9, dtype=np.uint8), "png")
+    rows = [
+        ("ok", bytearray(good)),
+        ("garbage", bytearray(b"not an image at all")),
+        ("truncated", bytearray(good[:12])),
+        ("empty", bytearray(b"")),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = {r.image_id: r for r in mm.image_profile(df, on_error="quarantine").collect()}
+    assert out["ok"].err is None and out["ok"].mean_px == 9.0
+    assert out["garbage"].err == "bad_magic"
+    assert out["truncated"].err == "truncated"
+    assert out["empty"].err == "bad_magic"
+    for bad in ("garbage", "truncated", "empty"):
+        assert out[bad].mean_px is None and out[bad].phash2 is None
+        assert out[bad].byte_key is not None  # garbage still dedups exactly
+    with pytest.raises(Exception):
+        mm.image_profile(df).collect()  # default raise mode unchanged
+    with pytest.raises(ValueError):
+        mm.image_profile(df, on_error="ignore")
