@@ -368,6 +368,86 @@ def q_stream_politeness_throttle(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_seen_dedup(spark, sf_dir):
+    """§2.10 streaming URL-seen with a WATERMARK TTL, driver-oracled
+    through a REAL multi-batch streaming run: four staged files drain
+    one-per-trigger (maxFilesPerTrigger=1, ascending mtimes → pinned
+    batch order), and `stream_seen_dedup` must (a) collapse identical
+    intra-batch duplicates, (b) drop cross-batch re-arrivals while the
+    key's state lives, (c) drop too-late rows (t + delay ≤ operator
+    watermark), and (d) RE-ADMIT a url once the watermark passes
+    first_seen + delay — the streaming twin of the batch engine's TTL
+    recrawl. The event lattice (10 urls × 4 batches, times chosen so
+    every rule fires non-vacuously, incl. the one-batch eviction lag:
+    batch 2's dups are dropped even though batch 1's watermark already
+    passed their expiry, and batch 3 re-admits) is a pure integer
+    formula; DuckDB restates the committed-watermark sequence and the
+    unrolled microbatch recurrence. A wrong dedup, a missed late
+    filter, an early/late eviction, or a scrambled batch order all
+    break the hash."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from crawler_spark.streaming.frontier_stream import stream_seen_dedup
+
+    def batch_rows(b):
+        rows = []
+        for u in range(10):
+            if b == 0:
+                ts = [100 + u, 100 + u]  # identical intra-batch dup
+            elif b == 1:
+                # dup re-arrivals; u=9 is the watermark advancer (t=500)
+                t = 200 + u if u < 5 else (500 if u == 9 else 210 + u)
+                ts = [t, t]
+            elif b == 2:
+                ts = [600 + u, 600 + u]  # evicted only at END of this batch
+            else:
+                ts = [700 + u, 300 + u]  # re-admit + a too-late straggler
+            rows.extend((f"u{u}", t) for t in ts)
+        return rows
+
+    stage = tempfile.mkdtemp(prefix="stream_seen_")
+    try:
+        for b in range(4):
+            df = spark.createDataFrame(
+                batch_rows(b), "url string, t long"
+            ).withColumn(
+                "event_time", F.timestamp_seconds(F.col("t") + 1_000_000)
+            )
+            tmp = tempfile.mkdtemp()
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                p for p in os.listdir(tmp) if p.endswith(".parquet")
+            )
+            dst = os.path.join(stage, f"b{b}.parquet")
+            shutil.copy(os.path.join(tmp, part), dst)
+            os.utime(dst, (1000.0 * (b + 1), 1000.0 * (b + 1)))
+            shutil.rmtree(tmp, ignore_errors=True)
+        src = (
+            spark.readStream.schema(
+                "url string, t long, event_time timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        name = "stream_seen_" + uuid.uuid4().hex[:8]
+        q = (
+            stream_seen_dedup(src, delay="60 seconds")
+            .select("url", "t")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name)
+
+
 def q_json_props(spark, sf_dir):
     """Semi-structured column handling: parse events.props JSON, bucket
     by its 'k' field (the schemaless-map part of the reference's data
@@ -2524,6 +2604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_hourly": q_tumbling_hourly,
         "stream_tumbling_hourly": q_stream_tumbling_hourly,
         "stream_politeness_throttle": q_stream_politeness_throttle,
+        "stream_seen_dedup": q_stream_seen_dedup,
         "sessionize": q_sessionize,
         "json_props": q_json_props,
         # text analysis
@@ -3105,6 +3186,63 @@ def oracle_sql() -> dict[str, str]:
             FROM u)
         SELECT host, url, CAST(LEAST(5, n) AS INTEGER) AS released_in_batch
         FROM ranked WHERE rn <= 5
+    """
+    # streaming URL-seen with watermark TTL: restate the committed-
+    # watermark sequence (max input t through batch b, minus delay —
+    # dropped duplicates still advance it) and the unrolled microbatch
+    # recurrence pinned by experiment:
+    #   late(b):  t + 60 <= wm(b-1)   (operator watermark during b)
+    #   live(b):  some prior EMITTED (url, t0) with t0 + 60 > wm(b-2)
+    #             (eviction runs at batch END, one batch behind the
+    #              late-filter watermark)
+    sqls["stream_seen_dedup"] = """
+        WITH us AS (SELECT unnest(range(0, 10)) AS u),
+        ev AS (
+          SELECT 0 AS b, 'u' || u AS url, 100 + u AS t FROM us
+          UNION ALL
+          SELECT 1, 'u' || u,
+                 CASE WHEN u < 5 THEN 200 + u
+                      WHEN u = 9 THEN 500 ELSE 210 + u END FROM us
+          UNION ALL
+          SELECT 2, 'u' || u, 600 + u FROM us
+          UNION ALL
+          SELECT 3, 'u' || u, 700 + u FROM us
+          UNION ALL
+          SELECT 3, 'u' || u, 300 + u FROM us
+        ),
+        wm AS (
+          SELECT b, MAX(MAX(t)) OVER (ORDER BY b) - 60 AS w
+          FROM ev GROUP BY b
+        ),
+        e0 AS (SELECT url, t FROM ev WHERE b = 0),
+        e1 AS (
+          SELECT ev.url, ev.t FROM ev
+          WHERE ev.b = 1
+            AND NOT (ev.t + 60 <= (SELECT w FROM wm WHERE b = 0))
+            AND NOT EXISTS (SELECT 1 FROM e0 p WHERE p.url = ev.url)
+        ),
+        e2 AS (
+          SELECT ev.url, ev.t FROM ev
+          WHERE ev.b = 2
+            AND NOT (ev.t + 60 <= (SELECT w FROM wm WHERE b = 1))
+            AND NOT EXISTS (
+              SELECT 1 FROM (SELECT * FROM e0 UNION ALL SELECT * FROM e1) p
+              WHERE p.url = ev.url
+                AND p.t + 60 > (SELECT w FROM wm WHERE b = 0))
+        ),
+        e3 AS (
+          SELECT ev.url, ev.t FROM ev
+          WHERE ev.b = 3
+            AND NOT (ev.t + 60 <= (SELECT w FROM wm WHERE b = 2))
+            AND NOT EXISTS (
+              SELECT 1 FROM (SELECT * FROM e0 UNION ALL SELECT * FROM e1
+                             UNION ALL SELECT * FROM e2) p
+              WHERE p.url = ev.url
+                AND p.t + 60 > (SELECT w FROM wm WHERE b = 1))
+        )
+        SELECT url, CAST(t AS BIGINT) AS t
+        FROM (SELECT * FROM e0 UNION ALL SELECT * FROM e1
+              UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3)
     """
     sqls["json_props"] = """
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,

@@ -65,6 +65,31 @@ def stream_tumbling_hourly(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_seen_dedup(urls: DataFrame, delay: str = "60 seconds") -> DataFrame:
+    """Streaming URL-seen: first occurrence per url within the watermark
+    horizon (``dropDuplicatesWithinWatermark``) — the streaming twin of
+    the batch engine's J1 anti-join WITH its TTL recrawl story
+    (`EngineConfig.recrawl_ttl_epochs`): a url re-arriving while its
+    state lives is a duplicate and is dropped; once the event-time
+    watermark passes ``first_seen + delay`` the key is evicted and the
+    url is admitted again — exactly a TTL re-crawl, with state bounded
+    by the horizon instead of growing forever like plain
+    ``dropDuplicates`` (the property that matters at a 10^10-URL
+    frontier: the streaming seen-store holds only keys younger than the
+    horizon, so memory is rate × delay, not corpus size).
+
+    Microbatch semantics (empirically pinned, tests + oracle): during
+    batch b the operator filters rows with ``t + delay <= wm(b-1)``
+    (too late), checks duplicates against state BEFORE evicting, and
+    evicts at batch END with wm(b-1) — so a key the watermark just
+    passed still dedups batch b and re-admits from batch b+1. Dropped
+    duplicates do NOT refresh state expiry, and every input row
+    (emitted or dropped) advances the watermark."""
+    return urls.withWatermark("event_time", delay).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+
+
 def stream_host_rates(events: DataFrame) -> DataFrame:
     """Running per-host totals (complete-mode aggregate)."""
     return events.groupBy("host").agg(F.count("*").alias("total_urls"))

@@ -27,7 +27,7 @@ SKIP = {
     "crawl_depth_indexed", "crawl_ttl", "crawl_exemplar",
     "crawl_multiseq", "crawl_harvest_only", "crawl_paging_refined",
     "stream_politeness_throttle",
-    "stream_tumbling_hourly", "image_decode_stats",
+    "stream_tumbling_hourly", "stream_seen_dedup", "image_decode_stats",
 }
 
 

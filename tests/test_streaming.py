@@ -131,3 +131,54 @@ def test_stream_politeness_throttle_drains_backlog(spark, tmp_path):
     assert n == 12, f"backlog starved: only {n}/12 released"
     per = spark.sql("select released_in_batch from drained").collect()
     assert all(r.released_in_batch <= 5 for r in per)
+
+
+def test_stream_seen_dedup_ttl_readmission(spark, tmp_path):
+    """Streaming URL-seen semantics, pinned batch by batch: a live-state
+    re-arrival is dropped; the eviction lags the watermark by one batch
+    (the batch whose watermark passes a key's expiry still dedups it);
+    the NEXT batch re-admits — the streaming twin of TTL recrawl."""
+    import os
+    import shutil
+
+    stage = str(tmp_path / "seen_src")
+    os.makedirs(stage)
+
+    def write(name, rows, mtime):
+        df = spark.createDataFrame(rows, "url string, t long").withColumn(
+            "event_time", F.timestamp_seconds(F.col("t") + 1_000_000)
+        )
+        tmp = str(tmp_path / ("w_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = os.path.join(stage, name + ".parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    write("b0", [("A", 100), ("B", 120)], 1000)
+    write("b1", [("X", 300)], 2000)        # watermark advancer → 240
+    write("b2", [("A", 310)], 3000)        # wm(1)=240 >= A.exp(160), but
+                                           # eviction runs at batch END:
+                                           # still a duplicate
+    write("b3", [("A", 320)], 4000)        # state gone → re-admitted
+    write("b4", [("E", 100)], 5000)        # exp 160 <= wm: too late, dropped
+
+    from crawler_spark.streaming.frontier_stream import stream_seen_dedup
+
+    src = (
+        spark.readStream.schema("url string, t long, event_time timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        stream_seen_dedup(src, delay="60 seconds")
+        .select("url", "t")
+        .writeStream.format("memory")
+        .queryName("seen_ttl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted((r.url, r.t) for r in spark.table("seen_ttl").collect())
+    assert got == [("A", 100), ("A", 320), ("B", 120), ("X", 300)]
