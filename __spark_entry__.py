@@ -1382,6 +1382,92 @@ def q_crawl_epoch(spark, sf_dir):
     )
 
 
+def q_crawl_image_harvest(spark, sf_dir):
+    """The capstone composite of the graft's two axes: a REAL 3-epoch
+    engine crawl over a corpus whose every page carries a binary image
+    payload, followed by decode-profiling of EXACTLY the crawled pages
+    — the north rule's production shape (frontier loop over image+
+    caption rows → harvest → per-row image processing) as one hash-
+    gated query. The 100 TB discipline is in the order of operations:
+    the frontier loop never reads bytes (FETCH_COLS column pruning,
+    test_plans::test_fetch_join_prunes_image_payload), and the decode
+    pass runs on the crawl_order join — pages the crawl selected —
+    never the 240-doc corpus. Images are the `_IMG_PX_CTE` generative
+    formula keyed by the SAME doc arithmetic as the link graph
+    (base=doc_id, no near-dup shift), so the DuckDB twin chains the
+    full multi-epoch crawl restatement (`_crawl_chain_sql("plain")` as
+    a derived table) against the analytic decode stats — a wrong crawl
+    order, a wrong politeness window, OR a corrupted byte path each
+    break the same hash."""
+    import os
+    import tempfile
+
+    from crawler_spark.engine import CrawlEngine, EngineConfig
+    from crawler_spark.multimodal import encode_pixels, image_profile
+
+    d = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < N_CRAWL_DOCS
+    )
+    imgs = (
+        d.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 2 == 1, F.lit("jpeg"))
+            .otherwise(F.lit("png"))
+            .alias("fmt"),
+        )
+        .withColumn("w", (8 * (1 + F.col("doc_id") % 3)).cast("int"))
+        .withColumn("h", (8 * (1 + F.col("doc_id") % 4)).cast("int"))
+        .withColumn(
+            "image_id",
+            _url_expr(F.col("doc_id"), F.col("doc_id") % N_HOSTS),
+        )
+        .withColumn(
+            "pixels",
+            F.expr(
+                "transform(sequence(0, w*h - 1), k ->"
+                " ( ((k div w) * 8 div h) * (37 + (doc_id*23) % 201)"
+                " + (((k % w) * 8 div w)) * (59 + (doc_id*41) % 149)"
+                " + (k*7) % 11 ) % 256)"
+            ),
+        )
+    )
+    payload = encode_pixels(imgs).withColumnRenamed("image_id", "url")
+    corpus = _doc_corpus(spark, sf_dir).join(payload, "url")
+    scratch = tempfile.mkdtemp(
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    eng = CrawlEngine(
+        spark, corpus, _doc_robots(spark),
+        EngineConfig(
+            max_epochs=N_CRAWL_EPOCHS, epoch_ms=CRAWL_EPOCH_MS,
+            checkpoint_dir=scratch, commit_every=4, detailed_metrics=False,
+        ),
+    )
+    eng.run(_crawl_seeds())
+    crawled = eng.crawl_order.select(
+        F.col("seq").cast("long").alias("seq"),
+        "url",
+        F.col("epoch").cast("long").alias("epoch"),
+    )
+    # decode ONLY what the crawl fetched: harvested rows join back to
+    # their payload, one mapInPandas profile pass over that slim set
+    prof = image_profile(
+        corpus.select(F.col("url").alias("image_id"), "bytes").join(
+            crawled.select(F.col("url").alias("image_id")), "image_id"
+        )
+    )
+    # LEFT join: a crawled page outside the payload corpus (e.g. the
+    # epoch-2 discovery of doc 315 >= N_CRAWL_DOCS — scheduled, fetch
+    # miss) stays in the output with NULL stats; silently dropping a
+    # crawled row would misreport the crawl
+    return crawled.join(
+        prof.withColumnRenamed("image_id", "url"), "url", "left"
+    ).select(
+        "seq", "url", "epoch",
+        "dec_fmt", "dec_w", "dec_h", "mean_px", "std_px",
+    )
+
+
 TTL_CRAWL_EPOCHS = 4  # one epoch past expiry so a re-crawl can land
 TTL_EPOCHS = 2
 
@@ -2663,6 +2749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine / multimodal (all hash-oracled via chained CTEs /
         # deterministic-decoder twins since rounds 3-4)
         "crawl_epoch": q_crawl_epoch,
+        "crawl_image_harvest": q_crawl_image_harvest,
         "crawl_harvest": q_crawl_harvest,
         "crawl_harvest_refined": q_crawl_harvest_refined,
         "crawl_paging_refined": q_crawl_paging_refined,
@@ -4266,6 +4353,45 @@ def oracle_sql() -> dict[str, str]:
     # crawl_epoch / crawl_harvest: the REAL engine's 3-epoch crawl order
     # vs the chained CTE restatement (was rows-only through round 2)
     sqls["crawl_epoch"] = _crawl_chain_sql("plain")
+    # capstone composite: the full plain-crawl chain (as a derived
+    # table) joined to the analytic decode stats of the SAME generative
+    # image formula keyed by doc_id — crawl order AND byte path under
+    # one hash
+    sqls["crawl_image_harvest"] = f"""
+        SELECT co.seq, co.url, co.epoch,
+               st.dec_fmt, st.dec_w, st.dec_h, st.mean_px, st.std_px
+        FROM ({_crawl_chain_sql("plain")}) co
+        LEFT JOIN (
+          WITH idims AS (
+            SELECT doc_id, 8*(1 + doc_id % 3) AS w, 8*(1 + doc_id % 4) AS h,
+                   CASE WHEN doc_id % 2 = 1 THEN 'jpeg' ELSE 'png' END AS fmt
+            FROM documents WHERE doc_id < {N_CRAWL_DOCS}
+          ),
+          ipraw AS (
+            SELECT m.doc_id, m.w, m.h, m.fmt,
+                   CASE WHEN m.fmt = 'jpeg' THEN p0 - (p0 % 2) ELSE p0 END AS q
+            FROM (
+              SELECT m.doc_id, m.w, m.h, m.fmt,
+                     ( ((t.k // m.w) * 8 // m.h) * (37 + (m.doc_id*23) % 201)
+                     + ((t.k % m.w) * 8 // m.w) * (59 + (m.doc_id*41) % 149)
+                     + (t.k*7) % 11 ) % 256 AS p0
+              FROM idims m, LATERAL (SELECT unnest(range(0, m.w*m.h)) AS k) t
+            ) m
+          ),
+          iagg AS (
+            SELECT doc_id, w, h, fmt, COUNT(*) AS n,
+                   CAST(SUM(q) AS BIGINT) AS s,
+                   CAST(SUM(q*q) AS BIGINT) AS sq
+            FROM ipraw GROUP BY 1, 2, 3, 4
+          )
+          SELECT 'http://host' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+                   || '.test/p/' || CAST(doc_id AS VARCHAR) AS url,
+                 fmt AS dec_fmt,
+                 CAST(w AS INTEGER) AS dec_w, CAST(h AS INTEGER) AS dec_h,
+                 s / n AS mean_px, sqrt((n*sq - s*s) / (n*n)) AS std_px
+          FROM iagg
+        ) st ON st.url = co.url
+    """
     sqls["crawl_harvest"] = _crawl_chain_sql("harvest")
     sqls["crawl_harvest_refined"] = _crawl_chain_sql("harvest_refined")
     sqls["crawl_paging_refined"] = _crawl_chain_sql(

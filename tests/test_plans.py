@@ -26,6 +26,7 @@ SKIP = {
     "crawl_epoch", "crawl_harvest", "crawl_harvest_refined",
     "crawl_depth_indexed", "crawl_ttl", "crawl_exemplar",
     "crawl_multiseq", "crawl_harvest_only", "crawl_paging_refined",
+    "crawl_image_harvest",
     "stream_politeness_throttle",
     "stream_tumbling_hourly", "stream_seen_dedup", "image_decode_stats",
 }
