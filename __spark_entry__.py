@@ -2507,6 +2507,53 @@ def q_multimodal_neardup(spark, sf_dir):
     )
 
 
+def q_image_shard_pack(spark, sf_dir):
+    """Training-export shard planning (webdataset-style): pack the image
+    corpus into 16-row shards under the doc_id total order and emit the
+    per-shard manifest (row count, payload bytes, id range) — the last
+    mile of the pipeline, planned over SLIM metadata rows (id + encoded
+    byte size from the codec arithmetic: 9-byte header + w·h payload)
+    so the binary payload is shuffled once by the writer, never by the
+    planning. The operator's 100 TB shape (pack_shards): range
+    repartition → per-partition local ranks → bounded #partitions-row
+    offset collect → broadcast join — NO single-partition global
+    window. DuckDB restates the global row_number and the same shard
+    arithmetic."""
+    from crawler_spark.operators.sharding import pack_shards
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    meta = d.select(
+        "doc_id",
+        (
+            F.lit(9)
+            + (8 * (1 + F.col("doc_id") % 3)) * (8 * (1 + F.col("doc_id") % 4))
+        )
+        .cast("long")
+        .alias("n_bytes"),
+    )
+    packed = pack_shards(meta, ["doc_id"], 16)
+    return packed.groupBy("shard_id").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def q_train_val_split(spark, sf_dir):
+    """Deterministic train/val holdout over the corpus: a row is 'val'
+    iff its md5-based 61-bit key hash lands in the first 10 of 100
+    buckets — content-seeded, so the same row keeps its split across
+    re-runs, cluster sizes, and the DuckDB twin (the W6 sampler's hash
+    idiom). Pure per-row column math, no shuffle, no rand()."""
+    from crawler_spark.operators.sharding import hash_split
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return hash_split(d.select("doc_id"), ["doc_id"], 10).select(
+        "doc_id", "split"
+    )
+
+
 def q_caption_image_align(spark, sf_dir):
     """Cross-modal alignment gate — the CLIP-score filter a captioned-
     image training pipeline runs before anything else (keep a pair only
@@ -2707,6 +2754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_neardup": q_multimodal_neardup,
         "caption_image_align": q_caption_image_align,
         "image_profile_corrupt": q_image_profile_corrupt,
+        "image_shard_pack": q_image_shard_pack,
+        "train_val_split": q_train_val_split,
         "simhash": q_simhash,
         "phash_neardup": q_phash_neardup,
         # similarity search
@@ -3869,6 +3918,29 @@ def oracle_sql() -> dict[str, str]:
                d.dot / sqrt(CAST(i.na * d.nb AS DOUBLE)) AS cosine,
                d.dot / sqrt(CAST(i.na * d.nb AS DOUBLE)) >= 0.875 AS aligned
         FROM dots d JOIN iv i USING (doc_id)
+    """
+    # shard packing: global row_number under the doc_id total order,
+    # then fixed-size shard arithmetic + per-shard manifest aggregate
+    sqls["image_shard_pack"] = """
+        WITH m AS (
+          SELECT doc_id,
+                 9 + (8*(1 + doc_id % 3)) * (8*(1 + doc_id % 4)) AS n_bytes,
+                 row_number() OVER (ORDER BY doc_id) - 1 AS g
+          FROM documents WHERE doc_id < 100
+        )
+        SELECT CAST(g // 16 AS BIGINT) AS shard_id,
+               COUNT(*) AS n_rows,
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM m GROUP BY 1
+    """
+    # content-seeded holdout: same first-15-hex-of-md5 hash as the W6
+    # sampler, bucket < 10 of 100 -> 'val'
+    sqls["train_val_split"] = f"""
+        SELECT doc_id,
+               CASE WHEN {_H61.format(x="CAST(doc_id AS VARCHAR)")} % 100 < 10
+                    THEN 'val' ELSE 'train' END AS split
+        FROM documents WHERE doc_id < 200
     """
     # corrupt-blob quarantine: defect classes are pure doc_id rules —
     # %13==11 bytes are non-image text (bad_magic), %13==7 keeps a valid

@@ -242,3 +242,44 @@ def test_signature_sims_hand_computed(spark):
     naw = math.sqrt((2 * wx) ** 2 + wy**2)
     nbw = math.sqrt((2 * wy) ** 2)
     assert abs(r.weighted_cosine - dotw / (naw * nbw)) < 1e-9
+
+
+def test_pack_shards_matches_global_order(spark):
+    """The distributed packer (range repartition + local ranks + offset
+    join) must equal the naive single-order assignment on a 10k-row
+    frame with a non-trivial key distribution — and use every partition
+    path (32 shuffle partitions over 10k rows)."""
+    from crawler_spark.operators.sharding import pack_shards
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 7919 % 10_000).alias("k")  # permuted, unique
+    )
+    got = {
+        r.k: (r.shard_id, r.idx_in_shard)
+        for r in pack_shards(df, ["k"], 128).collect()
+    }
+    for rank, k in enumerate(sorted(got)):
+        assert got[k] == (rank // 128, rank % 128), (k, rank, got[k])
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        pack_shards(df, ["k"], 0)
+
+
+def test_hash_split_deterministic_and_bounded(spark):
+    """Content-seeded split: stable across invocations, val fraction in
+    a sane band at 10%, and the same key always lands the same side."""
+    from crawler_spark.operators.sharding import hash_split
+
+    df = spark.range(0, 2_000).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id: r.split for r in hash_split(df, ["doc_id"], 10).collect()}
+    b = {r.doc_id: r.split for r in hash_split(df, ["doc_id"], 10).collect()}
+    assert a == b
+    n_val = sum(1 for v in a.values() if v == "val")
+    assert 120 <= n_val <= 280  # ~10% of 2000 with hash variance
+    assert {r.split for r in hash_split(df, ["doc_id"], 0).collect()} == {"train"}
+    assert {r.split for r in hash_split(df, ["doc_id"], 100).collect()} == {"val"}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        hash_split(df, ["doc_id"], 101)
