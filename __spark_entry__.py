@@ -2678,6 +2678,144 @@ def q_image_profile_corrupt(spark, sf_dir):
     )
 
 
+def q_image_ann_topk(spark, sf_dir):
+    """Image-to-image retrieval over the content embedding: decode →
+    `block_embedding` (64 exact-int block sums) → the SAME hyperplane-
+    LSH ANN operator the text embeddings use (`lsh_ann_topk`: bucket
+    equi-join, no cross product, corpus bucketed once and reused across
+    query batches) → exact cosine re-rank. Every image whose id ends
+    in 0 queries the full 100-image corpus for its 3 nearest neighbors.
+    Because the embedding components are integers, dot and norms are
+    EXACT in doubles regardless of summation order — the cross-engine
+    ranking cannot flip on float noise (stronger than the text-embedding
+    twin, which leans on round-4). DuckDB restates pixel formula →
+    block sums → the deterministic integer hyperplanes → buckets →
+    cosine → rank."""
+    from crawler_spark.multimodal import block_embedding
+    from crawler_spark.operators.similarity import lsh_ann_topk
+
+    iv = block_embedding(_oracle_image_frame(spark, sf_dir)).select(
+        F.regexp_extract("image_id", "([0-9]+)$", 1)
+        .cast("bigint")
+        .alias("vec_id"),
+        F.col("img_vec").cast("array<double>").alias("embedding"),
+    )
+    q = iv.filter(F.col("vec_id") % 10 == 0)
+    return lsh_ann_topk(iv, q, k=3, n_planes=6, n_tables=2).select(
+        "q_id", "n_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+def _ingest_image_frame(spark, sf_dir):
+    """Image corpus for the incremental-ingest dedup: docs 0..59 are the
+    EXISTING reference corpus (base=doc, fmt by doc%2); docs 60..119 are
+    the INCOMING batch with planted cross-boundary relationships —
+    d%10==3 is a byte-EXACT copy of existing doc d-61 (same base, same
+    fmt), d%10==7 is a lossy NEAR-dup of existing doc d-61 (same base,
+    flipped png↔jpeg), d%10==9 stays the near-dup of INCOMING doc d-1
+    (the negative control: a within-batch dup must NOT match the
+    reference corpus). All rules are doc_id arithmetic, so DuckDB
+    restates every stage."""
+    from crawler_spark.multimodal import encode_pixels
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    incoming = F.col("doc_id") >= 60
+    base = (
+        F.when(incoming & (F.col("doc_id") % 10).isin(3, 7), F.col("doc_id") - 61)
+        .when(F.col("doc_id") % 10 == 9, F.col("doc_id") - 1)
+        .otherwise(F.col("doc_id"))
+    )
+    df = d.select("doc_id", base.alias("base"))
+    fmt = (
+        F.when(
+            incoming & (F.col("doc_id") % 10 == 3),
+            F.when(F.col("base") % 2 == 1, F.lit("jpeg")).otherwise(F.lit("png")),
+        )
+        .when(
+            incoming & (F.col("doc_id") % 10 == 7),
+            F.when(F.col("base") % 2 == 1, F.lit("png")).otherwise(F.lit("jpeg")),
+        )
+        .otherwise(
+            F.when(F.col("doc_id") % 2 == 1, F.lit("jpeg")).otherwise(F.lit("png"))
+        )
+    )
+    df = (
+        df.withColumn("fmt", fmt)
+        .withColumn("w", (F.lit(8) * (1 + F.col("base") % 3)).cast("int"))
+        .withColumn("h", (F.lit(8) * (1 + F.col("base") % 4)).cast("int"))
+        .withColumn("image_id", F.concat(F.lit("img-"), F.col("doc_id")))
+        .withColumn(
+            "pixels",
+            F.expr(
+                "transform(sequence(0, w*h - 1), k ->"
+                " ( ((k div w) * 8 div h) * (37 + (base*23) % 201)"
+                " + (((k % w) * 8 div w)) * (59 + (base*41) % 149)"
+                " + (k*7) % 11 ) % 256)"
+            ),
+        )
+    )
+    return encode_pixels(df)
+
+
+def q_image_incremental_dedup(spark, sf_dir):
+    """Incremental-ingest dedup — the production cadence at 100 TB is
+    never 'dedup the corpus', it is 'dedup TODAY'S batch against the
+    reference corpus': one `image_profile` decode pass over both sides,
+    then (a) byte-exact matches by md5 byte_key equi-join against the
+    existing side, (b) perceptual near-dups via the cross-FRAME banded
+    phash join (`phash_neardup_join` — pigeonhole-complete candidates,
+    existing side banded once and reusable across increments), with
+    exact taking precedence and ties resolved to the smallest existing
+    doc. Within-batch near-dups (the %10==9 plants) deliberately do NOT
+    match — they are the in-batch pipeline's job, not the ingest
+    join's. DuckDB restates byte identity as (base, fmt) equality and
+    the near rule as all-pairs formula-phash Hamming ≤ 8 (sound against
+    the banding because max_hamming+1 bands make candidates complete)."""
+    from crawler_spark.multimodal import image_profile
+    from crawler_spark.operators.dedup import phash_neardup_join
+
+    prof = image_profile(_ingest_image_frame(spark, sf_dir)).withColumn(
+        "doc_n", F.regexp_extract("image_id", "([0-9]+)$", 1).cast("bigint")
+    )
+    existing = prof.filter(F.col("doc_n") < 60)
+    incoming = prof.filter(F.col("doc_n") >= 60)
+    exact = (
+        incoming.select("doc_n", "byte_key")
+        .join(
+            existing.select(
+                F.col("byte_key"), F.col("doc_n").alias("m")
+            ),
+            "byte_key",
+        )
+        .groupBy("doc_n")
+        .agg(F.min("m").alias("exact_match"))
+    )
+    near = (
+        phash_neardup_join(
+            incoming.select(F.col("doc_n").alias("id"), "phash2"),
+            existing.select(F.col("doc_n").alias("id"), "phash2"),
+            "phash2",
+            "id",
+            max_hamming=8,
+        )
+        .groupBy(F.col("id_l").alias("doc_n"))
+        .agg(F.min("id_r").alias("near_match"))
+    )
+    return (
+        incoming.select("image_id", "doc_n")
+        .join(exact, "doc_n", "left")
+        .join(near, "doc_n", "left")
+        .select(
+            "image_id",
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact"))
+            .when(F.col("near_match").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("fresh"))
+            .alias("disposition"),
+            F.coalesce("exact_match", "near_match").alias("match_doc"),
+        )
+    )
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash-LSH banded candidate pairs + signature-agreement verify."""
     from crawler_spark.operators.dedup import minhash_lsh_pairs
@@ -2756,6 +2894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_profile_corrupt": q_image_profile_corrupt,
         "image_shard_pack": q_image_shard_pack,
         "train_val_split": q_train_val_split,
+        "image_ann_topk": q_image_ann_topk,
+        "image_incremental_dedup": q_image_incremental_dedup,
         "simhash": q_simhash,
         "phash_neardup": q_phash_neardup,
         # similarity search
@@ -3941,6 +4081,143 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN {_H61.format(x="CAST(doc_id AS VARCHAR)")} % 100 < 10
                     THEN 'val' ELSE 'train' END AS split
         FROM documents WHERE doc_id < 200
+    """
+    # image ANN: block sums → the SAME deterministic integer hyperplanes
+    # as lsh_ann_topk → bucket candidates → exact cosine re-rank
+    sqls["image_ann_topk"] = _IMG_PX_CTE + """
+        , blk AS (
+          SELECT doc_id, br*8 + bc AS idx, CAST(SUM(q) AS BIGINT) AS bs
+          FROM px GROUP BY 1, 2
+        ),
+        e AS (
+          SELECT doc_id AS vec_id,
+                 list(CAST(bs AS DOUBLE) ORDER BY idx) AS v
+          FROM blk GROUP BY 1
+        ),
+        idims AS (SELECT CAST(g.i AS INTEGER) AS d
+                  FROM generate_series(0, 63) g(i)),
+        tp AS (SELECT CAST(t.i AS INTEGER) AS t, CAST(p.i AS INTEGER) AS p
+               FROM generate_series(0, 1) t(i), generate_series(0, 5) p(i)),
+        proj AS (
+            SELECT e.vec_id, tp.t, tp.p,
+                   SUM(e.v[idims.d + 1]
+                       * ((((tp.t * 97 + tp.p) * 131 + idims.d * 137) % 997)
+                          - 498)) AS pr
+            FROM e, idims, tp GROUP BY 1, 2, 3),
+        buckets AS (
+            SELECT vec_id, t,
+                   CAST(SUM(CASE WHEN pr > 0 THEN 1 << p ELSE 0 END)
+                        AS INTEGER) AS bucket
+            FROM proj GROUP BY 1, 2),
+        qq AS (SELECT * FROM buckets WHERE vec_id % 10 = 0),
+        cand AS (
+            SELECT DISTINCT qq.vec_id AS q_id, c.vec_id AS n_id
+            FROM qq JOIN buckets c
+              ON c.t = qq.t AND c.bucket = qq.bucket
+             AND c.vec_id <> qq.vec_id),
+        scored AS (
+            SELECT cand.q_id, cand.n_id,
+                   list_cosine_similarity(eq.v, en.v) AS cos
+            FROM cand JOIN e eq ON eq.vec_id = cand.q_id
+                      JOIN e en ON en.vec_id = cand.n_id),
+        ranked AS (
+            SELECT q_id, n_id, cos,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, n_id) AS rank
+            FROM scored)
+        SELECT q_id, n_id, round(cos, 4) AS cosine, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 3
+    """
+    # incremental-ingest dedup: byte identity = (base, fmt) equality
+    # (pixels/dims derive from base, encoder deterministic); near =
+    # all-pairs formula-phash Hamming <= 8 incoming x existing (sound vs
+    # the banded join: max_hamming+1 bands make candidates complete)
+    sqls["image_incremental_dedup"] = """
+        WITH imgs AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id >= 60 AND doc_id % 10 IN (3, 7)
+                        THEN doc_id - 61
+                      WHEN doc_id % 10 = 9 THEN doc_id - 1
+                      ELSE doc_id END AS base
+          FROM documents WHERE doc_id < 120
+        ),
+        wf AS (
+          SELECT doc_id, base,
+                 CASE WHEN doc_id >= 60 AND doc_id % 10 = 3
+                        THEN CASE WHEN base % 2 = 1 THEN 'jpeg' ELSE 'png' END
+                      WHEN doc_id >= 60 AND doc_id % 10 = 7
+                        THEN CASE WHEN base % 2 = 1 THEN 'png' ELSE 'jpeg' END
+                      ELSE CASE WHEN doc_id % 2 = 1 THEN 'jpeg' ELSE 'png' END
+                 END AS fmt
+          FROM imgs
+        ),
+        dims AS (
+          SELECT doc_id, base, fmt,
+                 8*(1 + base % 3) AS w, 8*(1 + base % 4) AS h
+          FROM wf
+        ),
+        praw AS (
+          SELECT d.doc_id, d.fmt,
+                 (t.k // d.w) * 8 // d.h AS br,
+                 (t.k % d.w) * 8 // d.w AS bc,
+                 ( ((t.k // d.w) * 8 // d.h) * (37 + (d.base*23) % 201)
+                 + ((t.k % d.w) * 8 // d.w) * (59 + (d.base*41) % 149)
+                 + (t.k*7) % 11 ) % 256 AS p
+          FROM dims d, LATERAL (SELECT unnest(range(0, d.w*d.h)) AS k) t
+        ),
+        px AS (
+          SELECT doc_id, br, bc,
+                 CASE WHEN fmt = 'jpeg' THEN p - (p % 2) ELSE p END AS q
+          FROM praw
+        ),
+        tot AS (
+          SELECT doc_id, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS s
+          FROM px GROUP BY 1
+        ),
+        blk AS (
+          SELECT doc_id, br, bc, COUNT(*) AS bn, CAST(SUM(q) AS BIGINT) AS bs
+          FROM px GROUP BY 1, 2, 3
+        ),
+        bits AS (
+          SELECT b.doc_id, b.br*8 + b.bc AS idx,
+                 CASE WHEN (CAST(b.bs AS DOUBLE) / b.bn)
+                         > (CAST(t.s AS DOUBLE) / t.n)
+                      THEN 1 ELSE 0 END AS bit
+          FROM blk b JOIN tot t USING (doc_id)
+        ),
+        ph AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN bit = 1 THEN (1::HUGEINT << idx)
+                               ELSE 0::HUGEINT END)
+                      - CASE WHEN MAX(CASE WHEN idx = 63 AND bit = 1
+                                          THEN 1 ELSE 0 END) = 1
+                             THEN 18446744073709551616::HUGEINT
+                             ELSE 0::HUGEINT END AS BIGINT) AS ph
+          FROM bits GROUP BY 1
+        ),
+        nearm AS (
+          SELECT i.doc_id AS inc, MIN(e.doc_id) AS near_match
+          FROM ph i JOIN ph e
+            ON i.doc_id >= 60 AND e.doc_id < 60
+           AND bit_count(xor(i.ph, e.ph)) <= 8
+          GROUP BY 1
+        ),
+        exactm AS (
+          SELECT i.doc_id AS inc, MIN(e.doc_id) AS exact_match
+          FROM wf i JOIN wf e
+            ON i.doc_id >= 60 AND e.doc_id < 60
+           AND e.base = i.base AND e.fmt = i.fmt
+          GROUP BY 1
+        )
+        SELECT 'img-' || d.doc_id AS image_id,
+               CASE WHEN x.exact_match IS NOT NULL THEN 'exact'
+                    WHEN n.near_match IS NOT NULL THEN 'near'
+                    ELSE 'fresh' END AS disposition,
+               COALESCE(x.exact_match, n.near_match) AS match_doc
+        FROM wf d
+        LEFT JOIN exactm x ON x.inc = d.doc_id
+        LEFT JOIN nearm n ON n.inc = d.doc_id
+        WHERE d.doc_id >= 60
     """
     # corrupt-blob quarantine: defect classes are pure doc_id rules —
     # %13==11 bytes are non-image text (bad_magic), %13==7 keeps a valid

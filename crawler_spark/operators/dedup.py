@@ -304,6 +304,45 @@ def simhash_neardup_pairs(
     ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
 
 
+def phash_neardup_join(
+    left: DataFrame, right: DataFrame, phash_col: str, id_col: str,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Cross-FRAME image near-dup: every (left, right) pair within
+    Hamming ≤ max_hamming — the incremental-ingest shape (today's batch
+    vs the reference corpus), where the self-join variant above would
+    wrongly also pair rows within each side. Same pigeonhole banding
+    (max_hamming+1 bands → candidate set provably complete), same
+    equi-join-only plan: at the 100 TB design point the corpus side is
+    banded once and reused across daily increments. Returns
+    (id_l, id_r, hamming)."""
+    n_bands = max_hamming + 1
+    band_bits = max(1, 64 // n_bands)
+
+    def banded(d, id_out, ph_out):
+        return d.select(
+            F.col(id_col).alias(id_out), F.col(phash_col).alias(ph_out),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_bands - 1))
+            ).alias("band"),
+        ).withColumn(
+            "band_val",
+            F.expr(
+                f"({ph_out} >> (band * {band_bits})) & {(1 << band_bits) - 1}"
+            ),
+        )
+
+    cand = (
+        banded(left, "id_l", "ph_l")
+        .join(banded(right, "id_r", "ph_r"), ["band", "band_val"])
+        .select("id_l", "id_r", "ph_l", "ph_r")
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("ph_l").bitwiseXOR(F.col("ph_r")))
+    ).filter(F.col("hamming") <= max_hamming).select("id_l", "id_r", "hamming")
+
+
 def phash_neardup_pairs(df: DataFrame, phash_col: str, id_col: str, max_hamming: int = 8) -> DataFrame:
     """Image near-dup by perceptual-hash Hamming distance (the graft's
     vectorized analog of RTDM tree-edit similarity, similarity.clj:7-125),

@@ -91,3 +91,34 @@ def test_synthetic_web_planted_neardups(spark):
     pairs = dedup.ngram_jaccard_pairs(corpus, "caption", "doc_id", threshold=0.8).collect()
     consec = [(r.id_a, r.id_b) for r in pairs if r.id_b == r.id_a + 1]
     assert len(consec) >= 3
+
+
+def test_phash_neardup_join_matches_brute(spark):
+    """Cross-frame banded join = brute-force cross Hamming (pigeonhole
+    completeness), and it must NOT pair rows within one side."""
+    from crawler_spark.operators.dedup import phash_neardup_join
+
+    import random
+
+    rng = random.Random(5)
+    left_rows = [(i, rng.getrandbits(63)) for i in range(40)]
+    # plant rights: 0..9 near left 0..9 (flip 3 bits), rest random
+    right_rows = []
+    for i in range(10):
+        ph = left_rows[i][1] ^ (1 << (i % 60)) ^ (1 << 62) ^ (1 << (i + 1))
+        right_rows.append((100 + i, ph))
+    right_rows += [(200 + i, rng.getrandbits(63)) for i in range(30)]
+    left = spark.createDataFrame(left_rows, "id long, ph long")
+    right = spark.createDataFrame(right_rows, "id long, ph long")
+    got = {
+        (r.id_l, r.id_r, r.hamming)
+        for r in phash_neardup_join(left, right, "ph", "id", max_hamming=8).collect()
+    }
+    brute = set()
+    for il, pl in left_rows:
+        for ir, pr in right_rows:
+            h = bin(pl ^ pr).count("1")
+            if h <= 8:
+                brute.add((il, ir, h))
+    assert got == brute
+    assert all(r[0] < 100 <= r[1] for r in got)  # strictly cross-frame

@@ -304,3 +304,33 @@ def test_image_profile_quarantine(spark):
         mm.image_profile(df).collect()  # default raise mode unchanged
     with pytest.raises(ValueError):
         mm.image_profile(df, on_error="ignore")
+
+
+def test_image_incremental_dedup_semantics(spark):
+    """Ingest dedup classifies incoming-vs-EXISTING only: byte-exact
+    plants (%10==3) and lossy near plants (%10==7) match their existing
+    source doc d-61; within-batch near-dups (%10==9) stay 'fresh' — the
+    negative control that separates ingest dedup from in-batch dedup."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    rows = entry.q_image_incremental_dedup(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_doc = {int(r.image_id.split("-")[1]): r for r in rows}
+    assert set(by_doc) == set(range(60, 120))
+    for d, r in by_doc.items():
+        if d % 10 == 3:
+            assert (r.disposition, r.match_doc) == ("exact", d - 61), (d, r)
+        elif d % 10 == 7:
+            assert (r.disposition, r.match_doc) == ("near", d - 61), (d, r)
+        elif d % 10 == 9:
+            assert r.disposition == "fresh", (d, r)  # within-batch only
+    from collections import Counter
+
+    c = Counter(r.disposition for r in rows)
+    assert c["exact"] == 6 and c["near"] == 6 and c["fresh"] == 48
