@@ -363,6 +363,8 @@ def main():
     for fname, label in (
         ("scaling_result_2to8.json", "local2_to_local8"),
         ("scaling_result.json", "local4_to_local16"),
+        ("scaling_image_1to4.json", "image_decode_local1_to_local4"),
+        ("scaling_image_2to8.json", "image_decode_local2_to_local8"),
     ):
         try:
             with open(os.path.join(here, fname)) as f:
