@@ -22,12 +22,21 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
+    b = SparkSession.builder.appName(app)
+    # Under spark-submit the driver JVM already exists and carries the
+    # operator's --master (yarn, k8s, local-cluster, ...); PythonRunner
+    # hands this process PYSPARK_GATEWAY_PORT to connect to it. Calling
+    # .master() here would silently stomp that choice and fall the whole
+    # job back to local mode — so only set a master when the caller asked
+    # for one explicitly, or when no submitted JVM exists (plain-python
+    # entry, where SparkSession needs SOME master to launch).
+    if master is not None:
+        b = b.master(master)
+    elif "PYSPARK_GATEWAY_PORT" not in os.environ:
+        b = b.master(f"local[{cpus}]")
     b = (
-        SparkSession.builder.appName(app)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
