@@ -363,6 +363,10 @@ def main():
     for fname, label in (
         ("scaling_result_2to8.json", "local2_to_local8"),
         ("scaling_result.json", "local4_to_local16"),
+        # real executor PROCESSES on a standalone mini-cluster (the
+        # north rule's literal "N and 4N executors"), netty shuffle
+        # fetches included — scripts/scaling_cluster_bench.py
+        ("scaling_cluster_execs_1to4.json", "cluster_execs_1_to_4"),
         ("scaling_image_1to4.json", "image_decode_local1_to_local4"),
         ("scaling_image_2to8.json", "image_decode_local2_to_local8"),
     ):
